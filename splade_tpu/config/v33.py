@@ -1,0 +1,132 @@
+"""V33 configuration dataclasses for the TPU-native SPLADE framework.
+
+Mirrors the knobs of the reference V33 recipe (reference:
+src/train/config/v33.py:21-132) and adds TPU-specific sections (mesh layout,
+global in-batch negatives, fused-head selection) that have no CUDA
+counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class V33ModelConfig:
+    """Model/backbone knobs (reference: src/train/config/v33.py:24-29)."""
+
+    name: str = "skt/A.X-Encoder-base"
+    dropout: float = 0.1
+    # TPU additions -------------------------------------------------------
+    dtype: str = "bfloat16"
+    """Compute dtype for activations (params are always float32)."""
+    remat: bool = True
+    """Rematerialize encoder layers (jax.checkpoint) to trade FLOPs for HBM."""
+    fused_splade_head: str = "auto"
+    """'auto' | 'fused' | 'xla': how to compute the 50K-vocab projection +
+    masked max-pool. 'fused' streams vocab tiles and never materializes the
+    [B, S, V] logits tensor; 'xla' is the naive reference-shaped path used
+    for parity testing; 'auto' picks 'fused' on TPU."""
+
+
+@dataclass
+class V33LossConfig:
+    """Loss knobs (reference: src/train/config/v33.py:32-62)."""
+
+    lambda_q: float = 1e-2
+    lambda_d: float = 3e-3
+    temperature: float = 1.0
+    flops_warmup_steps: int = 20000
+    lambda_kd: float = 0.0
+    kd_temperature: float = 1.0
+    lambda_margin_mse: float = 0.0
+    lambda_initial_ratio: float = 0.1
+    lambda_neg: float = 0.0
+    """0 = fall back to lambda_d (reference: src/model/losses.py:50)."""
+    # TPU additions -------------------------------------------------------
+    global_in_batch_negatives: bool = False
+    """If True, all_gather positives across the data mesh axis so InfoNCE
+    sees the global batch as negatives. The reference is per-rank only
+    (reference: src/model/losses.py:152-181); False reproduces that."""
+
+
+@dataclass
+class V33DataConfig:
+    """Data knobs (reference: src/train/config/v33.py:65-86)."""
+
+    train_files: List[str] = field(default_factory=lambda: ["data/v29.0/train_*.jsonl"])
+    val_files: List[str] = field(default_factory=lambda: ["data/v29.0/val.jsonl"])
+    batch_size: int = 64
+    """Per-device batch size (reference per-GPU batch)."""
+    query_max_length: int = 64
+    doc_max_length: int = 256
+    num_workers: int = 4
+    num_hard_negatives: int = 1
+    # TPU additions -------------------------------------------------------
+    tokenizer_path: str = ""
+    """HF tokenizer dir/name. Empty = resolve via SPLADE_TOKENIZER_PATH env
+    or the model name."""
+    prefetch_depth: int = 2
+    """Host->device prefetch depth for the input pipeline."""
+
+
+@dataclass
+class V33TrainingConfig:
+    """Trainer knobs (reference: src/train/config/v33.py:89-104)."""
+
+    num_epochs: int = 25
+    learning_rate: float = 5e-5
+    weight_decay: float = 0.01
+    warmup_ratio: float = 0.06
+    gradient_clip: float = 1.0
+    gradient_accumulation_steps: int = 4
+    mixed_precision: str = "bf16"
+    output_dir: str = "outputs/train_v33"
+    log_every_n_steps: int = 50
+    save_every_n_epochs: int = 5
+    seed: int = 42
+    eval_every_n_epochs: int = 5
+    max_steps: int = 0
+    """0 = no cap; >0 caps total optimizer steps (debug/smoke runs)."""
+
+
+@dataclass
+class V33MeshConfig:
+    """TPU mesh layout — no reference counterpart (DDP handled this)."""
+
+    data_axis: str = "data"
+    num_data: int = -1
+    """-1 = use all visible devices on the data axis."""
+
+
+@dataclass
+class V33Config:
+    """Top-level V33 config (reference: src/train/config/v33.py:107-132)."""
+
+    model: V33ModelConfig = field(default_factory=V33ModelConfig)
+    loss: V33LossConfig = field(default_factory=V33LossConfig)
+    data: V33DataConfig = field(default_factory=V33DataConfig)
+    training: V33TrainingConfig = field(default_factory=V33TrainingConfig)
+    mesh: V33MeshConfig = field(default_factory=V33MeshConfig)
+
+    def __post_init__(self) -> None:
+        for name, cls in (
+            ("model", V33ModelConfig),
+            ("loss", V33LossConfig),
+            ("data", V33DataConfig),
+            ("training", V33TrainingConfig),
+            ("mesh", V33MeshConfig),
+        ):
+            val = getattr(self, name)
+            if isinstance(val, dict):
+                setattr(self, name, cls(**val))
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "V33Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})

@@ -1,0 +1,239 @@
+"""ModernBERT encoder + MLM head in Flax (TPU-native reimplementation).
+
+Architecture parity target: HuggingFace ``ModernBertForMaskedLM`` as used by
+the reference SPLADE model (reference: src/model/splade_modern.py:19-97 loads
+``skt/A.X-Encoder-base``; architecture hyperparameters in
+huggingface/v33/config.json): 22 pre-norm layers, GeGLU MLPs, fused QKV,
+RoPE with alternating local (sliding-window 128, theta 10000) and global
+(every 3rd layer, theta 160000) attention, biasless LayerNorm (eps 1e-5),
+tied MLM decoder with bias.
+
+TPU-first choices:
+- attention is plain batched sdpa with an additive mask — at seq<=256 the
+  sliding window is a mask, not a kernel problem (SURVEY.md §5.7);
+- params live in float32, activations in bfloat16 (config.dtype);
+- per-layer rematerialization via ``flax.linen.remat`` when config.remat;
+- the MLM decoder is expressed as ``nn.Embed.attend`` so weights are tied by
+  construction, and the head transform / vocab projection are exposed as
+  separate methods so the SPLADE pooling can fuse the 50K projection with the
+  seq-max reduction without materializing [B, S, V] logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class ModernBertConfig:
+    vocab_size: int = 50000
+    hidden_size: int = 768
+    intermediate_size: int = 1152
+    num_hidden_layers: int = 22
+    num_attention_heads: int = 12
+    global_attn_every_n_layers: int = 3
+    local_attention: int = 128  # full window width; half-window each side
+    global_rope_theta: float = 160000.0
+    local_rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    pad_token_id: int = 49999
+    max_position_embeddings: int = 16384
+    decoder_bias: bool = True
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    def is_global_layer(self, layer_id: int) -> bool:
+        return layer_id % self.global_attn_every_n_layers == 0
+
+    @classmethod
+    def from_hf_dict(cls, d: Dict[str, Any], **over: Any) -> "ModernBertConfig":
+        keys = {f.name for f in dataclasses.fields(cls)} - {"dtype", "remat"}
+        kw = {k: d[k] for k in keys if k in d}
+        kw.update(over)
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **over: Any) -> "ModernBertConfig":
+        """Small config for unit tests."""
+        base = dict(
+            vocab_size=512, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=4, num_attention_heads=4, local_attention=8,
+            pad_token_id=511,
+        )
+        base.update(over)
+        return cls(**base)
+
+
+def rope_cos_sin(
+    seq_len: int, head_dim: int, theta: float, dtype: Any = jnp.float32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables, HF rotate-half convention: emb = concat(freqs, freqs)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    pos = jnp.arange(seq_len, dtype=jnp.float32)
+    freqs = jnp.outer(pos, inv_freq)  # [S, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [S, D]
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, S, N, D]; cos/sin: [S, D]. HF rotate_half convention."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return x * c + rotated * s
+
+
+# Large finite negative for additive masks. -inf would NaN fully-masked rows
+# (padded queries whose whole sliding window is padding) and the NaN leaks
+# into valid rows via 0 * NaN in the attention value matmul.
+MASK_NEG = jnp.float32(-1e30)
+
+
+def sliding_window_bias(seq_len: int, half_window: int) -> jnp.ndarray:
+    """[S, S] additive bias: 0 where |i-j| <= half_window else ~-inf."""
+    idx = jnp.arange(seq_len)
+    dist = jnp.abs(idx[:, None] - idx[None, :])
+    return jnp.where(dist <= half_window, 0.0, MASK_NEG).astype(jnp.float32)
+
+
+class ModernBertAttention(nn.Module):
+    config: ModernBertConfig
+    layer_id: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, attn_bias: jnp.ndarray,
+                 cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        B, S, H = x.shape
+        n, d = cfg.num_attention_heads, cfg.head_dim
+        qkv = nn.Dense(3 * H, use_bias=False, dtype=cfg.dtype, name="Wqkv")(x)
+        qkv = qkv.reshape(B, S, 3, n, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        # [B, N, S, S] logits in f32 for a stable softmax.
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k).astype(jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(d))
+        scores = scores + attn_bias  # [B, 1, S, S] additive mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+        out = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(B, S, H)
+        return nn.Dense(H, use_bias=False, dtype=cfg.dtype, name="Wo")(out)
+
+
+class ModernBertMLP(nn.Module):
+    """GeGLU MLP: Wi -> split(input, gate) -> gelu(input) * gate -> Wo."""
+
+    config: ModernBertConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        wi = nn.Dense(2 * cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
+                      name="Wi")(x)
+        inp, gate = jnp.split(wi, 2, axis=-1)
+        h = nn.gelu(inp, approximate=False) * gate
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype, name="Wo")(h)
+
+
+class ModernBertLayer(nn.Module):
+    config: ModernBertConfig
+    layer_id: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, attn_bias: jnp.ndarray,
+                 cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        if self.layer_id == 0:
+            # Layer 0 has no attention pre-norm (embedding norm covers it).
+            normed = x
+        else:
+            normed = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_fast_variance=False,
+                                  dtype=cfg.dtype, name="attn_norm")(x)
+        x = x + ModernBertAttention(cfg, self.layer_id, name="attn")(
+            normed, attn_bias, cos, sin)
+        mlp_in = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_fast_variance=False,
+                              dtype=cfg.dtype, name="mlp_norm")(x)
+        return x + ModernBertMLP(cfg, name="mlp")(mlp_in)
+
+
+class ModernBertForMaskedLM(nn.Module):
+    """Backbone + MLM head with tied decoder.
+
+    Methods are factored so callers can stop at ``head_transform`` and fuse
+    the vocab projection themselves (see splade_tpu.ops.splade_pool).
+    """
+
+    config: ModernBertConfig
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.tok_embeddings = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+            param_dtype=jnp.float32, name="tok_embeddings")
+        self.emb_norm = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_fast_variance=False,
+                                     dtype=cfg.dtype, name="emb_norm")
+        layer_cls = ModernBertLayer
+        if cfg.remat:
+            layer_cls = nn.remat(ModernBertLayer, static_argnums=())
+        self.layers = [
+            layer_cls(cfg, i, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
+        ]
+        self.final_norm = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_fast_variance=False,
+                                       dtype=cfg.dtype, name="final_norm")
+        self.head_dense = nn.Dense(cfg.hidden_size, use_bias=False,
+                                   dtype=cfg.dtype, name="head_dense")
+        self.head_norm = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_fast_variance=False,
+                                      dtype=cfg.dtype, name="head_norm")
+        if cfg.decoder_bias:
+            self.decoder_bias = self.param(
+                "decoder_bias", nn.initializers.zeros, (cfg.vocab_size,), jnp.float32)
+
+    def encode(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+        """Backbone: [B, S] ids -> [B, S, H] final-normed hidden states."""
+        cfg = self.config
+        S = input_ids.shape[1]
+        x = self.emb_norm(self.tok_embeddings(input_ids))
+        # Additive padding mask [B, 1, 1, S]: -inf at padded keys.
+        pad_bias = jnp.where(attention_mask[:, None, None, :].astype(bool),
+                             0.0, MASK_NEG).astype(jnp.float32)
+        local_bias = pad_bias + sliding_window_bias(S, cfg.local_attention // 2)[None, None]
+        g_cos, g_sin = rope_cos_sin(S, cfg.head_dim, cfg.global_rope_theta, cfg.dtype)
+        l_cos, l_sin = rope_cos_sin(S, cfg.head_dim, cfg.local_rope_theta, cfg.dtype)
+        for i, layer in enumerate(self.layers):
+            if cfg.is_global_layer(i):
+                x = layer(x, pad_bias, g_cos, g_sin)
+            else:
+                x = layer(x, local_bias, l_cos, l_sin)
+        return self.final_norm(x)
+
+    def head_transform(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """MLM prediction head (dense -> gelu -> norm), pre-projection."""
+        return self.head_norm(nn.gelu(self.head_dense(hidden), approximate=False))
+
+    def decoder_weights(self) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """(embedding [V, H], bias [V] or None) — the tied vocab projection."""
+        bias = self.decoder_bias if self.config.decoder_bias else None
+        return self.tok_embeddings.embedding, bias
+
+    def project_vocab(self, transformed: jnp.ndarray) -> jnp.ndarray:
+        """Tied decoder: [..., H] -> [..., V] logits."""
+        logits = self.tok_embeddings.attend(transformed)
+        if self.config.decoder_bias:
+            logits = logits + self.decoder_bias.astype(logits.dtype)
+        return logits
+
+    def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+        """Full MLM forward: [B, S] -> [B, S, V] logits."""
+        return self.project_vocab(self.head_transform(self.encode(input_ids, attention_mask)))

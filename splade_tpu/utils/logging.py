@@ -1,0 +1,125 @@
+"""Logging + scalar metric writing (console, file, TensorBoard-optional).
+
+Covers the reference observability channel set (reference:
+src/train/utils/logging.py:38-319): colored console formatter, optional file
+handler, and a scalar writer. TensorBoard is used when available; a JSONL
+event log is always written so runs are inspectable without TB.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import Any, Dict, Mapping, Optional
+
+_COLORS = {
+    logging.DEBUG: "\x1b[36m",
+    logging.INFO: "\x1b[32m",
+    logging.WARNING: "\x1b[33m",
+    logging.ERROR: "\x1b[31m",
+    logging.CRITICAL: "\x1b[35m",
+}
+_RESET = "\x1b[0m"
+
+
+class ColorFormatter(logging.Formatter):
+    """Colored level names on TTYs (reference: utils/logging.py:38-66)."""
+
+    def __init__(self, use_color: bool = True):
+        super().__init__("%(asctime)s | %(levelname)-7s | %(name)s | %(message)s",
+                         datefmt="%H:%M:%S")
+        self.use_color = use_color
+
+    def format(self, record: logging.LogRecord) -> str:
+        msg = super().format(record)
+        if self.use_color:
+            color = _COLORS.get(record.levelno, "")
+            return f"{color}{msg}{_RESET}"
+        return msg
+
+
+def setup_logging(
+    log_file: Optional[str] = None,
+    level: int = logging.INFO,
+    is_main_process: bool = True,
+) -> logging.Logger:
+    """Configure the root logger; non-main processes log warnings only.
+
+    Reference: src/train/utils/logging.py:69-121 (rank-0-only file handler).
+    """
+    root = logging.getLogger()
+    root.setLevel(level if is_main_process else logging.WARNING)
+    for h in list(root.handlers):
+        root.removeHandler(h)
+    console = logging.StreamHandler(sys.stderr)
+    console.setFormatter(ColorFormatter(use_color=sys.stderr.isatty()))
+    root.addHandler(console)
+    if log_file and is_main_process:
+        Path(log_file).parent.mkdir(parents=True, exist_ok=True)
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(ColorFormatter(use_color=False))
+        root.addHandler(fh)
+    return root
+
+
+class MetricWriter:
+    """Scalar writer: TensorBoard when importable + always-on JSONL events.
+
+    Replaces the reference TensorBoardLogger (reference:
+    src/train/utils/logging.py:124-319) with a dual-sink design so headless
+    TPU runs stay inspectable.
+    """
+
+    def __init__(self, log_dir: str, enabled: bool = True):
+        self.enabled = enabled
+        self.log_dir = Path(log_dir)
+        self._tb = None
+        self._events = None
+        if not enabled:
+            return
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self._events = open(self.log_dir / "events.jsonl", "a")
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+            self._tb = SummaryWriter(str(self.log_dir))
+        except Exception:
+            self._tb = None
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if not self.enabled:
+            return
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+        if self._events is not None:
+            self._events.write(
+                json.dumps({"t": time.time(), "step": step, tag: float(value)}) + "\n"
+            )
+
+    def scalars(self, values: Mapping[str, Any], step: int, prefix: str = "") -> None:
+        for k, v in values.items():
+            try:
+                self.scalar(f"{prefix}{k}", float(v), step)
+            except (TypeError, ValueError):
+                pass
+        if self._events is not None:
+            self._events.flush()
+
+    def text(self, tag: str, text: str, step: int = 0) -> None:
+        if self.enabled and self._tb is not None:
+            self._tb.add_text(tag, text, step)
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+        if self._events is not None:
+            self._events.close()
+
+    def __enter__(self) -> "MetricWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
