@@ -1,0 +1,165 @@
+"""Golden-value and property tests for the V33 loss stack.
+
+Golden values are computed with independent numpy implementations of the
+reference formulas (reference: src/model/losses.py), plus hand-computed
+cases for the λ schedule.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from splade_tpu.config.v33 import V33LossConfig
+from splade_tpu.losses import (
+    ExponentialLambdaScheduler,
+    LinearLambdaScheduler,
+    QuadraticLambdaScheduler,
+    flops_loss,
+    infonce_loss,
+    kl_kd_loss,
+    lambda_schedule,
+    margin_mse_loss,
+    v33_loss,
+)
+
+
+def _np_softmax_ce(scores, labels):
+    """Reference cross-entropy, mean reduction (losses.py:181)."""
+    scores = scores - scores.max(axis=1, keepdims=True)
+    logp = scores - np.log(np.exp(scores).sum(axis=1, keepdims=True))
+    return -logp[np.arange(len(labels)), labels].mean()
+
+
+@pytest.fixture
+def reprs(rng):
+    B, k, V = 5, 3, 32
+    mk = lambda *s: np.log1p(np.maximum(rng.normal(size=s), 0)).astype(np.float32)
+    return mk(B, V), mk(B, V), mk(B, k, V)
+
+
+def test_flops_golden():
+    # Hand case: [[1, 0], [3, 2]] -> means [2, 1] -> 4 + 1 = 5.
+    x = jnp.array([[1.0, 0.0], [3.0, 2.0]])
+    assert float(flops_loss(x)) == pytest.approx(5.0)
+
+
+def test_lambda_schedule_golden():
+    # λ(t) = target·(r0 + (1-r0)(t/T)²), reference losses.py:75-90.
+    lam = lambda s: float(lambda_schedule(jnp.asarray(s), 0.01, 100, 0.1))
+    assert lam(0) == pytest.approx(0.001)
+    assert lam(50) == pytest.approx(0.01 * (0.1 + 0.9 * 0.25))
+    assert lam(100) == pytest.approx(0.01)
+    assert lam(10_000) == pytest.approx(0.01)  # clamped past warmup
+
+
+def test_infonce_matches_reference_formula(reprs):
+    q, p, n = reprs
+    B = q.shape[0]
+    tau = 0.7
+    in_batch = q @ p.T / tau
+    hard = np.einsum("bv,bkv->bk", q, n) / tau
+    want = _np_softmax_ce(np.concatenate([in_batch, hard], axis=1), np.arange(B))
+    got = float(infonce_loss(jnp.asarray(q), jnp.asarray(p), jnp.asarray(n), tau))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_infonce_single_neg_2d_equals_k1(reprs):
+    q, p, n = reprs
+    a = float(infonce_loss(jnp.asarray(q), jnp.asarray(p), jnp.asarray(n[:, 0])))
+    b = float(infonce_loss(jnp.asarray(q), jnp.asarray(p), jnp.asarray(n[:, :1])))
+    assert a == pytest.approx(b, rel=1e-6)
+
+
+def test_margin_mse_matches_reference_formula(reprs, rng):
+    q, p, n = reprs
+    B, k = n.shape[:2]
+    t_pos = rng.normal(size=(B,)).astype(np.float32)
+    t_neg = rng.normal(size=(B, k)).astype(np.float32)
+    s_pos = (q * p).sum(-1)
+    s_neg = np.einsum("bv,bkv->bk", q, n)
+    want = np.mean(((s_pos[:, None] - s_neg) - (t_pos[:, None] - t_neg)) ** 2)
+    got = float(margin_mse_loss(*map(jnp.asarray, (q, p, n, t_pos, t_neg))))
+    assert got == pytest.approx(float(want), rel=1e-5)
+
+
+def test_kl_kd_matches_reference_formula(reprs, rng):
+    q, p, _ = reprs
+    B = q.shape[0]
+    T = 2.0
+    teacher = rng.normal(size=(B, B)).astype(np.float32)
+
+    def lsm(x):
+        x = x - x.max(axis=-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+    t_logp = lsm(teacher / T)
+    s_logp = lsm(q @ p.T / T)
+    want = (np.exp(t_logp) * (t_logp - s_logp)).sum(-1).mean()
+    got = float(kl_kd_loss(jnp.asarray(q), jnp.asarray(p), jnp.asarray(teacher), T))
+    # f32 log/exp chains differ across accumulation orders; 1e-3 rel is ample.
+    assert got == pytest.approx(float(want), rel=1e-3)
+
+
+def test_v33_total_composition(reprs, rng):
+    q, p, n = reprs
+    B, k = n.shape[:2]
+    cfg = V33LossConfig(lambda_q=0.01, lambda_d=0.003, flops_warmup_steps=100,
+                        lambda_margin_mse=0.2, lambda_kd=0.5, kd_temperature=1.5)
+    t_scores = rng.normal(size=(B, B)).astype(np.float32)
+    t_pos = rng.normal(size=(B,)).astype(np.float32)
+    t_neg = rng.normal(size=(B, k)).astype(np.float32)
+    step = jnp.asarray(50)
+    loss, m = v33_loss(jnp.asarray(q), jnp.asarray(p), jnp.asarray(n), step, cfg,
+                       teacher_scores=jnp.asarray(t_scores),
+                       teacher_pos_scores=jnp.asarray(t_pos),
+                       teacher_neg_scores=jnp.asarray(t_neg))
+    want = (float(m.infonce)
+            + float(m.lambda_q) * float(m.flops_q)
+            + float(m.lambda_d) * float(m.flops_d)
+            + float(m.lambda_neg) * float(m.flops_neg)
+            + 0.5 * float(m.kd) + 0.2 * float(m.margin_mse))
+    assert float(loss) == pytest.approx(want, rel=1e-5)
+    # lambda_neg falls back to lambda_d when 0 (reference losses.py:50).
+    assert float(m.lambda_neg) == pytest.approx(float(m.lambda_d))
+    assert float(m.nonzero_q) > 0
+
+
+def test_global_in_batch_negatives_match_single_device(reprs):
+    """all_gather InfoNCE over a 1-sized axis == local InfoNCE; over 4 devices
+    it must equal the concatenated-batch computation."""
+    q, p, n = reprs
+    cfg = V33LossConfig(global_in_batch_negatives=True)
+    D = 4
+    B, V = q.shape
+    qs = jnp.asarray(np.tile(q, (D, 1, 1)))
+    ps = jnp.asarray(np.tile(p, (D, 1, 1)))
+    ns = jnp.asarray(np.tile(n, (D, 1, 1, 1)))
+
+    def per_device(qq, pp, nn):
+        return infonce_loss(qq, pp, nn, 1.0, axis_name="d")
+
+    # vmap-as-mesh: axis_name works under vmap with named axes.
+    losses = jax.vmap(per_device, axis_name="d")(qs, ps, ns)
+    # Global candidates = D copies of p. Compute by hand:
+    in_batch = q @ np.tile(p, (D, 1)).T
+    hard = np.einsum("bv,bkv->bk", q, n)
+    labels = np.arange(B)  # device 0's positives are columns 0..B-1
+    want0 = _np_softmax_ce(np.concatenate([in_batch, hard], axis=1), labels)
+    assert float(losses[0]) == pytest.approx(want0, rel=1e-5)
+
+
+def test_scheduler_classes_and_resume():
+    q = QuadraticLambdaScheduler(1.0, 10)
+    lin = LinearLambdaScheduler(1.0, 10)
+    ex = ExponentialLambdaScheduler(1.0, 10, k=5.0)
+    assert q.get_lambda(5) == pytest.approx(0.25)
+    assert lin.get_lambda(5) == pytest.approx(0.5)
+    assert ex.get_lambda(10) == pytest.approx(1.0)
+    for _ in range(7):
+        q.step()
+    state = q.state_dict()
+    q2 = QuadraticLambdaScheduler(2.0, 99)
+    q2.load_state_dict(state)
+    assert q2.get_lambda() == q.get_lambda()
