@@ -1,0 +1,123 @@
+"""Checkpoint save/load with the reference's dual resume semantics.
+
+Layout (reference: src/train/cli/train_v33_ddp.py:192-286):
+
+    {output_dir}/checkpoint_epoch{E}_step{S}/
+        model.msgpack          — params pytree only
+        training_state.msgpack — opt_state + step + epoch + best_metric
+        config.json            — resolved run config
+    {output_dir}/final_model/model.msgpack (+ tokenizer files)
+
+- ``--resume``: find latest by step suffix, restore params + optimizer.
+- ``--checkpoint PATH`` on a model-only dir: load params, start fresh at
+  epoch 1 (how V34/V35 fine-tune from V33's final model).
+
+Serialization is flax msgpack (single-writer; process 0). Arrays are pulled
+to host first, so this works for replicated params on any mesh.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+logger = logging.getLogger(__name__)
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    output_dir: str,
+    state,
+    cfg=None,
+    epoch: int = 0,
+    best: Optional[float] = None,
+    name: Optional[str] = None,
+) -> str:
+    step = int(state.step)
+    ckpt_name = name or f"checkpoint_epoch{epoch}_step{step}"
+    path = Path(output_dir) / ckpt_name
+    if jax.process_index() == 0:
+        path.mkdir(parents=True, exist_ok=True)
+        (path / "model.msgpack").write_bytes(
+            serialization.to_bytes(_to_host(state.params)))
+        train_state = {
+            "opt_state": _to_host(state.opt_state),
+            "step": step,
+            "epoch": epoch,
+            "best_metric": float(best) if best is not None else 0.0,
+        }
+        (path / "training_state.msgpack").write_bytes(
+            serialization.to_bytes(train_state))
+        if cfg is not None:
+            (path / "config.json").write_text(json.dumps(cfg.to_dict(), indent=2))
+        logger.info("saved checkpoint %s", path)
+    return str(path)
+
+
+def save_final_model(output_dir: str, params, tokenizer=None) -> str:
+    """Final artifact (reference: train_v33_ddp.py:721-730)."""
+    path = Path(output_dir) / "final_model"
+    if jax.process_index() == 0:
+        path.mkdir(parents=True, exist_ok=True)
+        (path / "model.msgpack").write_bytes(
+            serialization.to_bytes(_to_host(params)))
+        if tokenizer is not None:
+            tokenizer.save_pretrained(str(path))
+    return str(path)
+
+
+def load_params(ckpt_dir: str, params_template) -> Any:
+    data = (Path(ckpt_dir) / "model.msgpack").read_bytes()
+    return serialization.from_bytes(params_template, data)
+
+
+def load_checkpoint(
+    ckpt_dir: str, state
+) -> Tuple[Any, Dict[str, Any]]:
+    """Restore (new_state, meta). Model-only dirs restore params and leave
+    the optimizer fresh (meta['full_resume'] False)."""
+    import jax.numpy as jnp
+
+    d = Path(ckpt_dir)
+    params = load_params(ckpt_dir, state.params)
+    ts_path = d / "training_state.msgpack"
+    if not ts_path.exists():
+        return state.replace(params=params), {"full_resume": False, "epoch": 0, "step": 0}
+    template = {
+        "opt_state": _to_host(state.opt_state),
+        "step": 0,
+        "epoch": 0,
+        "best_metric": 0.0,
+    }
+    ts = serialization.from_bytes(template, ts_path.read_bytes())
+    new_state = state.replace(
+        params=params,
+        opt_state=ts["opt_state"],
+        step=jnp.asarray(ts["step"], jnp.int32),
+    )
+    meta = {"full_resume": True, "epoch": int(ts["epoch"]),
+            "step": int(ts["step"]), "best_metric": ts["best_metric"]}
+    return new_state, meta
+
+
+def find_latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Latest by trailing step number (reference: train_v33_ddp.py:276-286)."""
+    root = Path(output_dir)
+    if not root.exists():
+        return None
+    best_step, best_path = -1, None
+    for p in root.glob("checkpoint_*"):
+        m = re.search(r"step(\d+)$", p.name)
+        if m and int(m.group(1)) > best_step:
+            best_step, best_path = int(m.group(1)), p
+    return str(best_path) if best_path else None

@@ -1,0 +1,253 @@
+"""SPMD train step + epoch-loop Trainer.
+
+Reference counterpart: the DDP trainer (reference:
+src/train/cli/train_v33_ddp.py:289-448 train_epoch, :451-736 main). TPU-native
+restructuring:
+
+- one jitted ``shard_map`` step over a data mesh replaces 8 DDP processes;
+- gradient accumulation is a ``lax.scan`` over micro-batches *inside* the
+  step, so the cross-chip gradient reduction (pmean over ICI) happens once
+  per optimizer step — the reference all-reduces every micro-batch because it
+  never uses ``no_sync()`` (train_v33_ddp.py:363-374);
+- positives and hard negatives share one doc-tower forward ([B*(1+k), S]) to
+  keep the MXU busy with one big matmul stream instead of two;
+- the λ schedule is a traced function of the step, so there is no host
+  round-trip per step.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from splade_tpu.config.v33 import V33Config
+from splade_tpu.losses.v33 import v33_loss
+from splade_tpu.parallel.mesh import make_mesh
+from splade_tpu.train.state import TrainState, create_train_state
+from splade_tpu.utils.logging import MetricWriter
+from splade_tpu.utils.metrics import MetricsTracker, MovingAverage, compute_throughput
+
+logger = logging.getLogger(__name__)
+
+# Batch keys that enter the device step ([accum, B, ...] after stacking).
+TENSOR_KEYS = (
+    "query_input_ids", "query_attention_mask",
+    "positive_input_ids", "positive_attention_mask",
+    "negative_input_ids", "negative_attention_mask",
+    "teacher_pos_scores", "teacher_neg_scores", "teacher_scores",
+)
+
+
+def stack_microbatches(micro_batches: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+    """[accum] list of collated batches -> dict of [accum, ...] arrays."""
+    out = {}
+    for k in TENSOR_KEYS:
+        if k in micro_batches[0]:
+            out[k] = np.stack([mb[k] for mb in micro_batches])
+    return out
+
+
+def make_loss_fn(model, loss_cfg, axis_name: Optional[str]):
+    def loss_fn(params, micro: Dict[str, jnp.ndarray], step: jnp.ndarray):
+        B = micro["query_input_ids"].shape[0]
+        q_repr, _ = model.apply({"params": params},
+                                micro["query_input_ids"],
+                                micro["query_attention_mask"])
+        doc_ids = jnp.concatenate(
+            [micro["positive_input_ids"], micro["negative_input_ids"]])
+        doc_mask = jnp.concatenate(
+            [micro["positive_attention_mask"], micro["negative_attention_mask"]])
+        doc_repr, _ = model.apply({"params": params}, doc_ids, doc_mask)
+        p_repr = doc_repr[:B]
+        n_repr = doc_repr[B:].reshape(B, -1, doc_repr.shape[-1])
+        loss, metrics = v33_loss(
+            q_repr, p_repr, n_repr, step, loss_cfg,
+            teacher_scores=micro.get("teacher_scores"),
+            teacher_pos_scores=micro.get("teacher_pos_scores"),
+            teacher_neg_scores=micro.get("teacher_neg_scores"),
+            axis_name=axis_name,
+        )
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_train_step(model, cfg: V33Config, mesh: Mesh, tx):
+    """Build the jitted SPMD train step.
+
+    Signature: (params, opt_state, step, batch[accum, B_global, ...])
+             -> (params, opt_state, step+1, metrics dict of scalars)
+    """
+    axis = mesh.axis_names[0]
+    accum = cfg.training.gradient_accumulation_steps
+    loss_fn = make_loss_fn(model, cfg.loss, axis)
+
+    def device_step(params, opt_state, step, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def micro_step(carry, mb):
+            g_acc, loss_acc, m_acc = carry
+            (loss, metrics), grads = grad_fn(params, mb, step)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            m_acc = jax.tree_util.tree_map(jnp.add, m_acc, metrics)
+            return (g_acc, loss_acc + loss, m_acc), None
+
+        g0 = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        first = jax.tree_util.tree_map(lambda x: x[0], batch)
+        _, m0 = jax.eval_shape(lambda: loss_fn(params, first, step))
+        m0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, jnp.float32), m0)
+        (g_acc, loss_acc, m_acc), _ = jax.lax.scan(
+            micro_step, (g0, jnp.float32(0.0), m0), batch)
+        # Single cross-chip reduction per optimizer step.
+        grads = jax.lax.pmean(
+            jax.tree_util.tree_map(lambda g: g / accum, g_acc), axis)
+        loss = jax.lax.pmean(loss_acc / accum, axis)
+        metrics = jax.lax.pmean(
+            jax.tree_util.tree_map(lambda m: m / accum, m_acc), axis)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: (p + u.astype(p.dtype)), params, updates)
+        out_metrics = {"loss": loss, **metrics.as_dict()}
+        out_metrics["grad_norm"] = jax.lax.stop_gradient(
+            jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                         for g in jax.tree_util.tree_leaves(grads))))
+        return new_params, new_opt, step + 1, out_metrics
+
+    sharded = jax.shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+class Trainer:
+    """Epoch loop: data sharding, logging, eval, checkpointing.
+
+    Reference flow: train_v33_ddp.py:451-736.
+    """
+
+    def __init__(
+        self,
+        cfg: V33Config,
+        model,
+        params,
+        train_data,
+        collator,
+        mesh: Optional[Mesh] = None,
+        val_data=None,
+        evaluator=None,
+        output_dir: Optional[str] = None,
+    ):
+        from splade_tpu.data.pipeline import create_dataloader
+
+        self.cfg = cfg
+        self.model = model
+        self.mesh = mesh or make_mesh(cfg.mesh.num_data, cfg.mesh.data_axis)
+        self.output_dir = output_dir or cfg.training.output_dir
+        self.evaluator = evaluator
+        self.val_data = val_data
+
+        n_dev = self.mesh.devices.size
+        self.global_batch = cfg.data.batch_size * n_dev
+        self.accum = cfg.training.gradient_accumulation_steps
+        self.loader = create_dataloader(
+            train_data, collator, self.global_batch,
+            shuffle=True, seed=cfg.training.seed, drop_last=True,
+            process_index=0, process_count=1,
+            prefetch_depth=cfg.data.prefetch_depth,
+        )
+        steps_per_epoch = max(len(self.loader) // self.accum, 1)
+        self.total_steps = steps_per_epoch * cfg.training.num_epochs
+        if cfg.training.max_steps:
+            self.total_steps = min(self.total_steps, cfg.training.max_steps)
+        self.steps_per_epoch = steps_per_epoch
+
+        self.state = create_train_state(params, cfg.training, self.total_steps)
+        rep = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(self.state, rep)
+        self.step_fn = make_train_step(model, cfg, self.mesh, self.state.tx)
+        self.batch_sharding = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
+
+        self.writer = MetricWriter(f"{self.output_dir}/tb")
+        self.tracker = MetricsTracker(self.output_dir, best_metric="loss")
+        self.ema_nonzero_q = MovingAverage(0.9)
+        self.ema_nonzero_d = MovingAverage(0.9)
+        self.start_epoch = 1
+
+    def _macro_batches(self, epoch: int) -> Iterable[Dict[str, np.ndarray]]:
+        self.loader.set_epoch(epoch)
+        bucket: List[Dict[str, Any]] = []
+        for mb in self.loader:
+            bucket.append(mb)
+            if len(bucket) == self.accum:
+                yield stack_microbatches(bucket)
+                bucket = []
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg.training
+        last: Dict[str, float] = {}
+        t0 = time.time()
+        samples = 0
+        for macro in self._macro_batches(epoch):
+            if cfg.max_steps and int(self.state.step) >= cfg.max_steps:
+                break
+            device_batch = jax.device_put(macro, self.batch_sharding)
+            params, opt_state, step, metrics = self.step_fn(
+                self.state.params, self.state.opt_state, self.state.step,
+                device_batch)
+            self.state = self.state.replace(
+                params=params, opt_state=opt_state, step=step)
+            samples += self.global_batch * self.accum
+            gstep = int(step)
+            if gstep % cfg.log_every_n_steps == 0 or gstep == 1:
+                host = {k: float(v) for k, v in metrics.items()}
+                host["epoch"] = epoch
+                host["samples_per_sec"] = compute_throughput(samples, time.time() - t0)
+                self.ema_nonzero_q.update(host["nonzero_q"])
+                self.ema_nonzero_d.update(host["nonzero_d"])
+                host["nonzero_q_ema"] = self.ema_nonzero_q.get()
+                host["nonzero_d_ema"] = self.ema_nonzero_d.get()
+                self.tracker.log(gstep, host)
+                self.writer.scalars(host, gstep, prefix="train/")
+                logger.info(
+                    "epoch %d step %d loss %.4f infonce %.4f nnz(q/d) %.0f/%.0f %.0f samp/s",
+                    epoch, gstep, host["loss"], host["infonce"],
+                    host["nonzero_q"], host["nonzero_d"], host["samples_per_sec"])
+                last = host
+        return last
+
+    def train(self) -> TrainState:
+        cfg = self.cfg.training
+        logger.info(
+            "training: %d epochs x %d steps (global batch %d x accum %d) on %d devices",
+            cfg.num_epochs, self.steps_per_epoch, self.global_batch, self.accum,
+            self.mesh.devices.size)
+        for epoch in range(self.start_epoch, cfg.num_epochs + 1):
+            t0 = time.time()
+            self.train_epoch(epoch)
+            logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+            if (self.evaluator is not None
+                    and epoch % self.cfg.training.eval_every_n_epochs == 0):
+                scores = self.evaluator.evaluate(self.model, self.state.params)
+                self.writer.scalars(scores, int(self.state.step), prefix="eval/")
+                logger.info("eval @ epoch %d: %s", epoch, scores)
+            if epoch % cfg.save_every_n_epochs == 0 or epoch == cfg.num_epochs:
+                from splade_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(self.output_dir, self.state, self.cfg,
+                                epoch=epoch, best=self.tracker.best_value)
+            if cfg.max_steps and int(self.state.step) >= cfg.max_steps:
+                break
+        self.tracker.summary()
+        self.writer.close()
+        return self.state

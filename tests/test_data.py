@@ -1,0 +1,147 @@
+"""Data layer tests: JSONL loading, fixed-shape collation, sharded iteration."""
+
+import json
+
+import numpy as np
+import pytest
+
+from splade_tpu.data import (
+    ShardedBatchIterator,
+    TripletCollator,
+    load_training_data,
+)
+
+
+class FakeTokenizer:
+    """Deterministic char-code tokenizer with the HF call signature."""
+
+    def __call__(self, texts, padding, truncation, max_length, return_tensors):
+        ids = np.zeros((len(texts), max_length), np.int64)
+        mask = np.zeros((len(texts), max_length), np.int64)
+        for i, t in enumerate(texts):
+            codes = [ord(c) % 97 + 3 for c in t][: max_length]
+            ids[i, : len(codes)] = codes
+            mask[i, : len(codes)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+@pytest.fixture
+def jsonl_dir(tmp_path):
+    rows0 = [
+        {"query": "q0", "positive": "p0", "negative": "n0",
+         "teacher_pos_score": 0.9, "teacher_neg_score": 0.2,
+         "pair_type": "qa", "difficulty": "hard"},
+        {"query": "q1", "positive": "p1", "negative": "n1",
+         "teacher_pos_score": 0.8, "teacher_neg_score": 0.1},
+    ]
+    rows1 = [
+        {"query": "q2", "positive": "p2",
+         "negatives": ["n2a", "n2b", "n2c"],
+         "teacher_pos_score": 0.7, "teacher_neg_scores": [0.3, 0.2, 0.1]},
+        {"query": "q3", "positive": "p3", "negatives": ["n3a"],
+         "teacher_pos_score": 0.6, "teacher_neg_scores": [0.25]},
+        {"bad": "row"},
+        {"query": "", "positive": "x"},
+    ]
+    (tmp_path / "train_000.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows0))
+    (tmp_path / "train_001.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows1))
+    return tmp_path
+
+
+def test_load_training_data_globs_and_filters(jsonl_dir):
+    ds = load_training_data(str(jsonl_dir / "train_*.jsonl"))
+    assert len(ds) == 4  # two malformed rows skipped
+    assert ds[0]["query"] == "q0"
+    ds_cap = load_training_data([str(jsonl_dir / "train_*.jsonl")], max_samples=3)
+    assert len(ds_cap) == 3
+
+
+def test_load_training_data_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_training_data(str(tmp_path / "nope_*.jsonl"))
+
+
+def test_collator_static_shapes_single_neg(jsonl_dir):
+    ds = load_training_data(str(jsonl_dir / "train_000.jsonl"))
+    col = TripletCollator(FakeTokenizer(), query_max_length=8, doc_max_length=16)
+    out = col([ds[0], ds[1]])
+    assert out["query_input_ids"].shape == (2, 8)
+    assert out["positive_input_ids"].shape == (2, 16)
+    assert out["negative_input_ids"].shape == (2, 16)
+    assert out["query_input_ids"].dtype == np.int32
+    assert out["teacher_pos_scores"].shape == (2,)
+    assert out["teacher_neg_scores"].shape == (2, 1)
+    assert out["pair_types"] == ["qa", ""]
+
+
+def test_collator_multi_neg_padding_semantics(jsonl_dir):
+    ds = load_training_data(str(jsonl_dir / "train_001.jsonl"))
+    tok = FakeTokenizer()
+    col = TripletCollator(tok, query_max_length=8, doc_max_length=16,
+                          num_hard_negatives=3)
+    out = col([ds[0], ds[1]])
+    # [B*k, S] flattening.
+    assert out["negative_input_ids"].shape == (6, 16)
+    # Row 1 has one neg 'n3a' -> repeated to fill k=3 (reference
+    # dataloader.py:75-92 pads with the last negative).
+    n3a = tok(["n3a"], None, None, 16, None)["input_ids"][0]
+    np.testing.assert_array_equal(out["negative_input_ids"][4], n3a)
+    np.testing.assert_array_equal(out["negative_input_ids"][5], n3a)
+    # Teacher neg scores repeat likewise.
+    np.testing.assert_allclose(out["teacher_neg_scores"][1], [0.25, 0.25, 0.25])
+    np.testing.assert_allclose(out["teacher_neg_scores"][0], [0.3, 0.2, 0.1])
+
+
+def test_collator_no_neg_falls_back_to_positive():
+    col = TripletCollator(FakeTokenizer(), query_max_length=4, doc_max_length=8)
+    out = col([{"query": "q", "positive": "pos-text"}])
+    np.testing.assert_array_equal(
+        out["negative_input_ids"], out["positive_input_ids"])
+
+
+def test_sharded_iterator_partition_and_determinism(jsonl_dir):
+    ds = load_training_data(str(jsonl_dir / "train_*.jsonl"))
+    ident = lambda rows: [r["query"] for r in rows]
+    seen = []
+    for p in range(2):
+        it = ShardedBatchIterator(ds, ident, batch_size=1, seed=7, epoch=0,
+                                  process_index=p, process_count=2,
+                                  prefetch_depth=2)
+        assert len(it) == 2
+        batches = list(it)
+        assert batches == list(it)  # deterministic re-iteration
+        seen.extend(q for b in batches for q in b)
+    assert sorted(seen) == ["q0", "q1", "q2", "q3"]
+
+    it = ShardedBatchIterator(ds, ident, batch_size=1, seed=7, epoch=0,
+                              process_index=0, process_count=2)
+    first = list(it)
+    it.set_epoch(1)
+    assert list(it) != first or len(first) <= 1  # epoch reshuffles
+
+
+def test_sharded_iterator_propagates_worker_errors(jsonl_dir):
+    ds = load_training_data(str(jsonl_dir / "train_*.jsonl"))
+
+    def boom(rows):
+        raise ValueError("collate failed")
+
+    it = ShardedBatchIterator(ds, boom, batch_size=1, prefetch_depth=2)
+    with pytest.raises(ValueError, match="collate failed"):
+        list(it)
+
+
+def test_real_tokenizer_roundtrip_if_available():
+    from splade_tpu.utils.tokenizer import create_tokenizer, resolve_tokenizer_path
+    from pathlib import Path
+
+    path = resolve_tokenizer_path()
+    if not Path(path).exists():
+        pytest.skip("no local tokenizer artifact")
+    tok = create_tokenizer()
+    col = TripletCollator(tok, query_max_length=16, doc_max_length=32)
+    out = col([{"query": "한국어 검색", "positive": "스파스 검색 모델", "negative": "무관한 문서"}])
+    assert out["query_input_ids"].shape == (1, 16)
+    assert out["query_attention_mask"].sum() > 2
