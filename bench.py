@@ -1,0 +1,97 @@
+"""Benchmark: V33 train-step throughput on the local device(s).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: full V33 training throughput in triplets/sec/chip (one triplet =
+query[64] + positive[256] + hard-negative[256], bf16, fused SPLADE pooling,
+InfoNCE+FLOPS loss, AdamW update). Reference baseline: the published recipe
+trains 4.84M triplets x 25 epochs in ~20-24h on 8x B200 => ~175-210
+triplets/s/GPU (BASELINE.md "Training throughput"); vs_baseline uses the
+midpoint 190.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_TRIPLETS_PER_SEC_PER_CHIP = 190.0  # 8xB200 recipe midpoint
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splade_tpu.config.v33 import V33Config
+    from splade_tpu.models.modernbert import ModernBertConfig
+    from splade_tpu.models.splade import SpladeEncoder
+    from splade_tpu.parallel.mesh import make_mesh
+    from splade_tpu.train.state import create_train_state
+    from splade_tpu.train.trainer import make_train_step, stack_microbatches
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    mesh = make_mesh(devices=devices)
+
+    B = 32 * n_chips  # per-chip batch 32, accum 2 ~= reference 64x4 density
+    ACCUM = 2
+    cfg = V33Config.from_dict({
+        "data": {"batch_size": B // n_chips},
+        "training": {"gradient_accumulation_steps": ACCUM},
+    })
+    mcfg = ModernBertConfig(dtype=jnp.bfloat16, remat=True)
+    model = SpladeEncoder(mcfg, pool_impl="streamed")
+    ids0 = jnp.zeros((1, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids0, jnp.ones_like(ids0))["params"]
+    state = create_train_state(params, cfg.training, total_steps=1000)
+    step_fn = make_train_step(model, cfg, mesh, state.tx)
+
+    rng = np.random.default_rng(0)
+
+    def tok(n, L):
+        ids = rng.integers(3, mcfg.vocab_size - 2, size=(n, L)).astype(np.int32)
+        lengths = rng.integers(L // 2, L + 1, size=(n,))
+        mask = (np.arange(L)[None] < lengths[:, None]).astype(np.int32)
+        return np.where(mask > 0, ids, mcfg.pad_token_id), mask
+
+    micro = []
+    for _ in range(ACCUM):
+        qi, qm = tok(B, 64)
+        pi, pm = tok(B, 256)
+        ni, nm = tok(B, 256)
+        micro.append({
+            "query_input_ids": qi, "query_attention_mask": qm,
+            "positive_input_ids": pi, "positive_attention_mask": pm,
+            "negative_input_ids": ni, "negative_attention_mask": nm,
+        })
+    batch = stack_microbatches(micro)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = jax.device_put(batch, NamedSharding(mesh, P(None, mesh.axis_names[0])))
+
+    params, opt_state, step = state.params, state.opt_state, state.step
+    # Warmup/compile.
+    params, opt_state, step, metrics = step_fn(params, opt_state, step, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    steps = 8
+    t0 = time.time()
+    for _ in range(steps):
+        params, opt_state, step, metrics = step_fn(params, opt_state, step, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    triplets = steps * B * ACCUM
+    per_chip = triplets / dt / n_chips
+
+    print(json.dumps({
+        "metric": "v33_train_triplets_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "triplets/s/chip",
+        "vs_baseline": round(per_chip / BASELINE_TRIPLETS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Benchmark-side encoders: batched device encoding to sparse/dense vectors.
+
+Reference: benchmark/encoders.py — NeuralSparseEncoderV33 loads a raw
+training checkpoint (:249-402), batch-encodes via DataLoader, extracts
+nonzeros into python dicts with special-token and "["/"<"-prefix filtering
+and optional per-doc top-k, plus encode_for_query(top_k).
+
+TPU-native changes: vectors stay as (indices, values) arrays end to end —
+the per-element nonzero->dict loop (reference encoders.py:160-182, a major
+CPU bottleneck) is replaced by batched on-device top-k + a single host
+transfer.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+SparseVec = Tuple[np.ndarray, np.ndarray]  # (indices int32, values float32)
+
+
+class SparseEncoderV33:
+    """SPLADE encoder for indexing/search, from a trained params pytree."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        tokenizer,
+        query_max_length: int = 64,
+        doc_max_length: int = 256,
+        batch_size: int = 32,
+        doc_top_k: int = 0,
+        query_top_k: int = 64,
+        filter_special: bool = True,
+    ):
+        import jax
+
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.query_max_length = query_max_length
+        self.doc_max_length = doc_max_length
+        self.batch_size = batch_size
+        self.doc_top_k = doc_top_k
+        self.query_top_k = query_top_k
+        self._banned = self._banned_token_mask(tokenizer) if filter_special else None
+        self._encode_jit = jax.jit(
+            lambda p, ids, m: model.apply({"params": p}, ids, m)[0])
+
+    @staticmethod
+    def _banned_token_mask(tokenizer) -> np.ndarray:
+        """Vocab mask of tokens excluded from sparse vectors: special tokens
+        and "["/"<"-prefixed markers (reference: encoders.py:168-176)."""
+        vocab_size = len(tokenizer)
+        banned = np.zeros(vocab_size, bool)
+        for tid in tokenizer.all_special_ids:
+            if 0 <= tid < vocab_size:
+                banned[tid] = True
+        vocab = tokenizer.get_vocab()
+        for tok, tid in vocab.items():
+            if tid < vocab_size and tok[:1] in ("[", "<"):
+                banned[tid] = True
+        return banned
+
+    def _encode_batch(self, texts: Sequence[str], max_length: int) -> np.ndarray:
+        import jax.numpy as jnp
+
+        enc = self.tokenizer(
+            list(texts), padding="max_length", truncation=True,
+            max_length=max_length, return_tensors="np")
+        out = self._encode_jit(
+            self.params,
+            jnp.asarray(enc["input_ids"].astype(np.int32)),
+            jnp.asarray(enc["attention_mask"].astype(np.int32)))
+        return np.asarray(out)
+
+    def _to_sparse(self, mat: np.ndarray, top_k: int) -> List[SparseVec]:
+        if self._banned is not None:
+            mat = mat.copy()
+            mat[:, self._banned] = 0.0
+        out: List[SparseVec] = []
+        for row in mat:
+            nz = np.flatnonzero(row > 0)
+            vals = row[nz]
+            if top_k and len(nz) > top_k:
+                keep = np.argpartition(-vals, top_k - 1)[:top_k]
+                nz, vals = nz[keep], vals[keep]
+            out.append((nz.astype(np.int32), vals.astype(np.float32)))
+        return out
+
+    def _encode_texts(self, texts: Sequence[str], max_length: int,
+                      top_k: int) -> List[SparseVec]:
+        vecs: List[SparseVec] = []
+        B = self.batch_size
+        for i in range(0, len(texts), B):
+            chunk = list(texts[i:i + B])
+            pad = B - len(chunk)
+            mat = self._encode_batch(chunk + [""] * pad, max_length)[: len(chunk)]
+            vecs.extend(self._to_sparse(mat, top_k))
+        return vecs
+
+    def encode_documents(self, texts: Sequence[str]) -> List[SparseVec]:
+        return self._encode_texts(texts, self.doc_max_length, self.doc_top_k)
+
+    def encode_queries(self, texts: Sequence[str]) -> List[SparseVec]:
+        """Query vectors truncated to the strongest ``query_top_k`` tokens
+        (reference: searchers.py:161-170 builds top-64 rank_feature clauses)."""
+        return self._encode_texts(texts, self.query_max_length, self.query_top_k)
+
+    def encode_for_query(self, text: str) -> SparseVec:
+        return self.encode_queries([text])[0]
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, tokenizer, **kwargs) -> "SparseEncoderV33":
+        """Load from a training checkpoint dir (model.msgpack)."""
+        import jax
+        import jax.numpy as jnp
+
+        from splade_tpu.models.modernbert import ModernBertConfig
+        from splade_tpu.models.splade import SpladeEncoder
+        from splade_tpu.train.checkpoint import load_params
+
+        cfg = ModernBertConfig(
+            vocab_size=len(tokenizer), dtype=jnp.bfloat16,
+            pad_token_id=tokenizer.pad_token_id)
+        model = SpladeEncoder(cfg, pool_impl="streamed")
+        ids = jnp.zeros((1, 8), jnp.int32)
+        template = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
+        params = load_params(ckpt_dir, template)
+        return cls(model, params, tokenizer, **kwargs)
+
+    @classmethod
+    def from_hf_dir(cls, model_dir: str, tokenizer=None, **kwargs) -> "SparseEncoderV33":
+        """Load from an exported HF-format dir (config.json + safetensors)."""
+        import jax.numpy as jnp
+
+        from splade_tpu.models.hf_port import load_hf_checkpoint
+        from splade_tpu.models.splade import SpladeEncoder
+
+        if tokenizer is None:
+            from splade_tpu.utils.tokenizer import create_tokenizer
+
+            tokenizer = create_tokenizer(model_dir)
+        cfg, params = load_hf_checkpoint(model_dir, dtype=jnp.bfloat16)
+        model = SpladeEncoder(cfg, pool_impl="streamed")
+        return cls(model, {"mlm": params}, tokenizer, **kwargs)
+
+
+class DenseEncoderBase:
+    """Interface for dense baseline encoders (reference BgeM3Encoder,
+    encoders.py:24-69: 1024-d normalized embeddings)."""
+
+    dim: int = 0
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:  # [N, dim] normalized
+        raise NotImplementedError

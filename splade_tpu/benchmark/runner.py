@@ -1,0 +1,206 @@
+"""Benchmark runner: index -> search -> metrics -> significance -> report.
+
+Reference: benchmark/runner.py:38-475 and benchmark/hf_runner.py:30-388.
+The OpenSearch cluster is replaced by in-process indexes; hit-rank handles
+multi-relevant qrels (reference: hf_runner.py:187-215).
+
+CLI:
+    python -m splade_tpu.benchmark.runner --dataset ko-strategyqa \
+        --checkpoint outputs/train_v33/final_model [--sample-size N]
+        [--no-hybrid] [--output-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+from splade_tpu.benchmark.bm25 import BM25Index, make_wordpiece_analyzer
+from splade_tpu.benchmark.data import BenchmarkData, load_benchmark, load_triplet_benchmark
+from splade_tpu.benchmark.index import ExactDenseIndex, ExactSparseIndex
+from splade_tpu.benchmark.metrics import QueryResult, aggregate_metrics, paired_t_test
+from splade_tpu.benchmark.report import generate_report
+from splade_tpu.benchmark.searchers import (
+    BaseSearcher,
+    create_hybrid_searchers,
+    create_searchers,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class BenchmarkRunner:
+    def __init__(
+        self,
+        data: BenchmarkData,
+        sparse_encoder=None,
+        dense_encoder=None,
+        tokenizer=None,
+        top_k: int = 10,
+        include_hybrid: bool = True,
+        output_dir: str = "outputs/benchmark",
+    ):
+        self.data = data
+        self.sparse_encoder = sparse_encoder
+        self.dense_encoder = dense_encoder
+        self.tokenizer = tokenizer
+        self.top_k = top_k
+        self.include_hybrid = include_hybrid
+        self.output_dir = Path(output_dir)
+        self.searchers: Dict[str, BaseSearcher] = {}
+        self.results: Dict[str, List[QueryResult]] = {}
+
+    def setup(self) -> None:
+        """Build all indexes from the corpus (reference: runner setup +
+        _index_documents)."""
+        doc_ids = list(self.data.corpus.keys())
+        texts = [self.data.corpus[d] for d in doc_ids]
+        t0 = time.time()
+
+        bm25 = None
+        if self.tokenizer is not None:
+            bm25 = BM25Index(analyzer=make_wordpiece_analyzer(self.tokenizer))
+        else:
+            bm25 = BM25Index()
+        bm25.add_documents(list(zip(doc_ids, texts)))
+        bm25.finalize()
+        logger.info("BM25 indexed %d docs in %.1fs", len(doc_ids), time.time() - t0)
+
+        sparse_index = None
+        if self.sparse_encoder is not None:
+            t0 = time.time()
+            vecs = self.sparse_encoder.encode_documents(texts)
+            sparse_index = ExactSparseIndex(
+                vocab_size=len(self.tokenizer) if self.tokenizer else 50000)
+            for did, (idx, vals) in zip(doc_ids, vecs):
+                sparse_index.add(did, idx, vals)
+            avg_nnz = sparse_index.nnz / max(len(doc_ids), 1)
+            logger.info("sparse-encoded %d docs in %.1fs (avg %.1f nnz/doc)",
+                        len(doc_ids), time.time() - t0, avg_nnz)
+
+        dense_index = None
+        if self.dense_encoder is not None:
+            t0 = time.time()
+            mat = self.dense_encoder.encode(texts)
+            dense_index = ExactDenseIndex(mat.shape[1])
+            for did, vec in zip(doc_ids, mat):
+                dense_index.add(did, vec)
+            logger.info("dense-encoded %d docs in %.1fs", len(doc_ids), time.time() - t0)
+
+        self.searchers = create_searchers(
+            bm25_index=bm25,
+            sparse_encoder=self.sparse_encoder, sparse_index=sparse_index,
+            dense_encoder=self.dense_encoder, dense_index=dense_index)
+        if self.include_hybrid:
+            self.searchers.update(create_hybrid_searchers(self.searchers))
+
+    def run(self) -> Dict[str, Dict[str, float]]:
+        """Query loop per method (reference: runner.py:155-238)."""
+        if not self.searchers:
+            self.setup()
+        summary: Dict[str, Dict[str, float]] = {}
+        for name, searcher in self.searchers.items():
+            t0 = time.time()
+            results: List[QueryResult] = []
+            for qid, qtext in self.data.queries.items():
+                try:
+                    res = searcher.search(qtext, self.top_k)
+                except Exception as e:  # degrade like the reference (:186-196)
+                    logger.warning("query %s failed on %s: %s", qid, name, e)
+                    res = None
+                results.append(QueryResult(
+                    query_id=qid,
+                    retrieved_ids=res.doc_ids if res else [],
+                    relevant_ids=self.data.qrels.get(qid, set()),
+                    latency_ms=res.latency_ms if res else 0.0))
+            self.results[name] = results
+            summary[name] = aggregate_metrics(results)
+            logger.info("%s: R@1=%.3f MRR=%.3f (%.1fs)", name,
+                        summary[name]["recall@1"], summary[name]["mrr"],
+                        time.time() - t0)
+        return summary
+
+    def statistical_tests(self, baseline: str = "bm25") -> Dict[str, Dict[str, float]]:
+        out = {}
+        base = self.results.get(baseline)
+        if not base:
+            return out
+        for name, res in self.results.items():
+            if name != baseline and len(res) == len(base):
+                out[f"{name} vs {baseline}"] = paired_t_test(res, base)
+        return out
+
+    def save(self, summary, stat_tests) -> None:
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        (self.output_dir / "metrics.json").write_text(json.dumps({
+            "dataset": self.data.name,
+            "num_queries": len(self.data.queries),
+            "num_docs": len(self.data.corpus),
+            "methods": summary,
+            "statistical_tests": stat_tests,
+        }, indent=2))
+        report = generate_report(
+            self.data.name, summary, stat_tests,
+            metadata={"queries": len(self.data.queries),
+                      "docs": len(self.data.corpus)})
+        (self.output_dir / "report.md").write_text(report)
+        logger.info("wrote %s", self.output_dir / "report.md")
+
+
+def main(argv: Optional[list] = None) -> int:
+    from splade_tpu.utils.logging import setup_logging
+
+    p = argparse.ArgumentParser("splade-tpu benchmark")
+    p.add_argument("--dataset", default="ko-strategyqa",
+                   help="ko-strategyqa | miracl-ko | mrtydi-ko | triplet-val | local name")
+    p.add_argument("--checkpoint", default=None,
+                   help="training checkpoint dir or exported HF dir")
+    p.add_argument("--val-files", default=None,
+                   help="for --dataset triplet-val: glob of val jsonl")
+    p.add_argument("--sample-size", type=int, default=2000)
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--no-hybrid", action="store_true")
+    p.add_argument("--no-sparse", action="store_true")
+    p.add_argument("--output-dir", default=None)
+    args = p.parse_args(argv)
+    setup_logging()
+
+    from splade_tpu.utils.tokenizer import create_tokenizer
+
+    tokenizer = create_tokenizer()
+    if args.dataset == "triplet-val":
+        data = load_triplet_benchmark(args.val_files, args.sample_size)
+    else:
+        data = load_benchmark(args.dataset)
+
+    sparse_encoder = None
+    if args.checkpoint and not args.no_sparse:
+        from splade_tpu.benchmark.encoders import SparseEncoderV33
+
+        ckpt = Path(args.checkpoint)
+        if (ckpt / "model.msgpack").exists():
+            sparse_encoder = SparseEncoderV33.from_checkpoint(str(ckpt), tokenizer)
+        else:
+            sparse_encoder = SparseEncoderV33.from_hf_dir(str(ckpt), tokenizer)
+
+    runner = BenchmarkRunner(
+        data, sparse_encoder=sparse_encoder, tokenizer=tokenizer,
+        top_k=args.top_k, include_hybrid=not args.no_hybrid,
+        output_dir=args.output_dir or f"outputs/benchmark/{args.dataset}")
+    summary = runner.run()
+    tests = runner.statistical_tests()
+    runner.save(summary, tests)
+    for name, m in sorted(summary.items(), key=lambda kv: -kv[1]["recall@1"]):
+        print(f"{name:24s} R@1={m['recall@1']:.3f} R@5={m['recall@5']:.3f} "
+              f"MRR={m['mrr']:.3f} p50={m['latency_p50_ms']:.1f}ms")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
