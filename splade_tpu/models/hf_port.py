@@ -5,11 +5,16 @@ The reference consumes the HF checkpoint directly
 we instead translate its state dict into our parameter pytree once, then run
 pure JAX. Also provides the reverse direction for HF export
 (reference: scripts/export_v33_hf.py:17-40).
+
+Param layout note: our model runs the repeating [local, local, global]
+3-layer unit as a ``flax.linen.scan`` (compile-time), so HF layers 3b+1,
+3b+2, 3b+3 are STACKED along a leading blocks axis under
+``blocks/{local_a,local_b,global_c}``; HF layer 0 maps to ``layer0`` and any
+remainder layers map to ``tail_{i}``.
 """
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
@@ -22,6 +27,30 @@ def _t(x) -> np.ndarray:
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
     return np.asarray(x, dtype=np.float32)
+
+
+def _layer_from_hf(state: Mapping[str, Any], i: int, attn_norm: bool) -> Dict[str, Any]:
+    pre = f"model.layers.{i}."
+    layer: Dict[str, Any] = {
+        "attn": {
+            "Wqkv": {"kernel": _t(state[pre + "attn.Wqkv.weight"]).T},
+            "Wo": {"kernel": _t(state[pre + "attn.Wo.weight"]).T},
+        },
+        "mlp_norm": {"scale": _t(state[pre + "mlp_norm.weight"])},
+        "mlp": {
+            "Wi": {"kernel": _t(state[pre + "mlp.Wi.weight"]).T},
+            "Wo": {"kernel": _t(state[pre + "mlp.Wo.weight"]).T},
+        },
+    }
+    if attn_norm:
+        layer["attn_norm"] = {"scale": _t(state[pre + "attn_norm.weight"])}
+    return layer
+
+
+def _stack_trees(trees):
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *trees)
 
 
 def port_hf_state_dict(
@@ -41,27 +70,41 @@ def port_hf_state_dict(
     }
     if config.decoder_bias:
         p["decoder_bias"] = _t(state["decoder.bias"])
-    for i in range(config.num_hidden_layers):
-        pre = f"model.layers.{i}."
-        layer: Dict[str, Any] = {
-            "attn": {
-                "Wqkv": {"kernel": _t(state[pre + "attn.Wqkv.weight"]).T},
-                "Wo": {"kernel": _t(state[pre + "attn.Wo.weight"]).T},
-            },
-            "mlp_norm": {"scale": _t(state[pre + "mlp_norm.weight"])},
-            "mlp": {
-                "Wi": {"kernel": _t(state[pre + "mlp.Wi.weight"]).T},
-                "Wo": {"kernel": _t(state[pre + "mlp.Wo.weight"]).T},
-            },
+    L = config.num_hidden_layers
+    p["layer0"] = _layer_from_hf(state, 0, attn_norm=False)
+    nb = (L - 1) // 3
+    if nb:
+        p["blocks"] = {
+            "local_a": _stack_trees([_layer_from_hf(state, 3 * b + 1, True) for b in range(nb)]),
+            "local_b": _stack_trees([_layer_from_hf(state, 3 * b + 2, True) for b in range(nb)]),
+            "global_c": _stack_trees([_layer_from_hf(state, 3 * b + 3, True) for b in range(nb)]),
         }
-        if i != 0:
-            layer["attn_norm"] = {"scale": _t(state[pre + "attn_norm.weight"])}
-        p[f"layers_{i}"] = layer
+    for i in range(1 + 3 * nb, L):
+        p[f"tail_{i}"] = _layer_from_hf(state, i, attn_norm=True)
     return p
+
+
+def _layer_to_hf(out: Dict[str, np.ndarray], layer: Mapping[str, Any], i: int) -> None:
+    pre = f"model.layers.{i}."
+
+    def g(*path):
+        node: Any = layer
+        for k in path:
+            node = node[k]
+        return np.asarray(node, dtype=np.float32)
+
+    out[pre + "attn.Wqkv.weight"] = g("attn", "Wqkv", "kernel").T
+    out[pre + "attn.Wo.weight"] = g("attn", "Wo", "kernel").T
+    out[pre + "mlp_norm.weight"] = g("mlp_norm", "scale")
+    out[pre + "mlp.Wi.weight"] = g("mlp", "Wi", "kernel").T
+    out[pre + "mlp.Wo.weight"] = g("mlp", "Wo", "kernel").T
+    if "attn_norm" in layer:
+        out[pre + "attn_norm.weight"] = g("attn_norm", "scale")
 
 
 def export_to_hf_state_dict(params: Mapping[str, Any], config: ModernBertConfig) -> Dict[str, np.ndarray]:
     """Flax params -> HF ModernBertForMaskedLM state dict (numpy, float32)."""
+    import jax
 
     def g(*path):
         node: Any = params
@@ -80,16 +123,18 @@ def export_to_hf_state_dict(params: Mapping[str, Any], config: ModernBertConfig)
     }
     if config.decoder_bias:
         out["decoder.bias"] = g("decoder_bias")
-    for i in range(config.num_hidden_layers):
-        pre = f"model.layers.{i}."
-        li = f"layers_{i}"
-        out[pre + "attn.Wqkv.weight"] = g(li, "attn", "Wqkv", "kernel").T
-        out[pre + "attn.Wo.weight"] = g(li, "attn", "Wo", "kernel").T
-        out[pre + "mlp_norm.weight"] = g(li, "mlp_norm", "scale")
-        out[pre + "mlp.Wi.weight"] = g(li, "mlp", "Wi", "kernel").T
-        out[pre + "mlp.Wo.weight"] = g(li, "mlp", "Wo", "kernel").T
-        if i != 0:
-            out[pre + "attn_norm.weight"] = g(li, "attn_norm", "scale")
+    L = config.num_hidden_layers
+    _layer_to_hf(out, params["layer0"], 0)
+    nb = (L - 1) // 3
+    if nb:
+        for role, off in (("local_a", 1), ("local_b", 2), ("global_c", 3)):
+            stacked = params["blocks"][role]
+            for b in range(nb):
+                layer = jax.tree_util.tree_map(
+                    lambda x, b=b: np.asarray(x)[b], stacked)
+                _layer_to_hf(out, layer, 3 * b + off)
+    for i in range(1 + 3 * nb, L):
+        _layer_to_hf(out, params[f"tail_{i}"], i)
     return out
 
 

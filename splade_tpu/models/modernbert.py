@@ -168,6 +168,28 @@ class ModernBertLayer(nn.Module):
         return x + ModernBertMLP(cfg, name="mlp")(mlp_in)
 
 
+class ModernBertBlock(nn.Module):
+    """The repeating [local, local, global] 3-layer unit (layers 3b+1..3b+3).
+
+    The 22-layer stack is layer0(global) + 7 such blocks; expressing the
+    blocks as a ``flax.linen.scan`` makes XLA trace/compile ONE block body
+    instead of 21 unrolled layers — an order-of-magnitude compile-time win
+    with identical math.
+    """
+
+    config: ModernBertConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, biases) -> tuple[jnp.ndarray, None]:
+        pad_bias, local_bias, g_cos, g_sin, l_cos, l_sin = biases
+        cfg = self.config
+        # layer_id=1 stands for "any non-first layer" (has attn_norm).
+        x = ModernBertLayer(cfg, 1, name="local_a")(x, local_bias, l_cos, l_sin)
+        x = ModernBertLayer(cfg, 1, name="local_b")(x, local_bias, l_cos, l_sin)
+        x = ModernBertLayer(cfg, 1, name="global_c")(x, pad_bias, g_cos, g_sin)
+        return x, None
+
+
 class ModernBertForMaskedLM(nn.Module):
     """Backbone + MLM head with tied decoder.
 
@@ -184,11 +206,24 @@ class ModernBertForMaskedLM(nn.Module):
             param_dtype=jnp.float32, name="tok_embeddings")
         self.emb_norm = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_fast_variance=False,
                                      dtype=cfg.dtype, name="emb_norm")
-        layer_cls = ModernBertLayer
-        if cfg.remat:
-            layer_cls = nn.remat(ModernBertLayer, static_argnums=())
-        self.layers = [
-            layer_cls(cfg, i, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
+        # layer0 (global, no attn_norm) + scanned [local,local,global] blocks
+        # + an unrolled tail for layer counts not of the form 1 + 3k.
+        layer0_cls = nn.remat(ModernBertLayer) if cfg.remat else ModernBertLayer
+        self.layer0 = layer0_cls(cfg, 0, name="layer0")
+        n_rest = cfg.num_hidden_layers - 1
+        self.num_blocks = n_rest // 3
+        if self.num_blocks:
+            block_cls = nn.remat(ModernBertBlock, prevent_cse=False) if cfg.remat else ModernBertBlock
+            self.blocks = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=self.num_blocks,
+            )(cfg, name="blocks")
+        self.tail = [
+            layer0_cls(cfg, i, name=f"tail_{i}")
+            for i in range(1 + 3 * self.num_blocks, cfg.num_hidden_layers)
         ]
         self.final_norm = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_fast_variance=False,
                                        dtype=cfg.dtype, name="final_norm")
@@ -211,7 +246,11 @@ class ModernBertForMaskedLM(nn.Module):
         local_bias = pad_bias + sliding_window_bias(S, cfg.local_attention // 2)[None, None]
         g_cos, g_sin = rope_cos_sin(S, cfg.head_dim, cfg.global_rope_theta, cfg.dtype)
         l_cos, l_sin = rope_cos_sin(S, cfg.head_dim, cfg.local_rope_theta, cfg.dtype)
-        for i, layer in enumerate(self.layers):
+        x = self.layer0(x, pad_bias, g_cos, g_sin)
+        if self.num_blocks:
+            x, _ = self.blocks(x, (pad_bias, local_bias, g_cos, g_sin, l_cos, l_sin))
+        for i, layer in zip(range(1 + 3 * self.num_blocks, cfg.num_hidden_layers),
+                            self.tail):
             if cfg.is_global_layer(i):
                 x = layer(x, pad_bias, g_cos, g_sin)
             else:
