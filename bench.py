@@ -21,6 +21,10 @@ BASELINE_TRIPLETS_PER_SEC_PER_CHIP = 190.0  # 8xB200 recipe midpoint
 
 def main() -> None:
     import jax
+
+    from splade_tpu.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -67,9 +71,14 @@ def main() -> None:
             "negative_input_ids": ni, "negative_attention_mask": nm,
         })
     batch = stack_microbatches(micro)
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    if n_chips > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    batch = jax.device_put(batch, NamedSharding(mesh, P(None, mesh.axis_names[0])))
+        batch = jax.device_put(batch, NamedSharding(mesh, P(None, mesh.axis_names[0])))
+    else:
+        # A NamedSharding-annotated input alone routes the jit through the
+        # SPMD partitioner (~10x slower on this backend); plain placement.
+        batch = jax.device_put(batch)
 
     params, opt_state, step = state.params, state.opt_state, state.step
     # Warmup/compile.

@@ -41,7 +41,9 @@ class SparseEncoderV33:
         import jax
 
         self.model = model
-        self.params = params
+        # Pin params on device once — host-resident params would be
+        # re-uploaded on every jitted call (observed: 24s/query).
+        self.params = jax.device_put(params)
         self.tokenizer = tokenizer
         self.query_max_length = query_max_length
         self.doc_max_length = doc_max_length
@@ -125,12 +127,18 @@ class SparseEncoderV33:
         from splade_tpu.models.splade import SpladeEncoder
         from splade_tpu.train.checkpoint import load_params
 
+        import numpy as np_
+
         cfg = ModernBertConfig(
             vocab_size=len(tokenizer), dtype=jnp.bfloat16,
             pad_token_id=tokenizer.pad_token_id)
         model = SpladeEncoder(cfg, pool_impl="streamed")
         ids = jnp.zeros((1, 8), jnp.int32)
-        template = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
+        # Shape-only template (eval_shape): no device-side random init.
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids)))
+        template = jax.tree_util.tree_map(
+            lambda s: np_.zeros(s.shape, s.dtype), shapes["params"])
         params = load_params(ckpt_dir, template)
         return cls(model, params, tokenizer, **kwargs)
 

@@ -168,6 +168,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--output-dir", default=None)
     args = p.parse_args(argv)
     setup_logging()
+    from splade_tpu.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
 
     from splade_tpu.utils.tokenizer import create_tokenizer
 

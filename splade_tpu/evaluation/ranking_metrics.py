@@ -1,0 +1,213 @@
+"""Token-level graded ranking metrics for sparse-vector quality analysis.
+
+Reference: src/evaluation/ranking_metrics.py (1156 LoC): GradedRelevance
+(grades 0-3), EvaluationDataset with JSON persistence and domain filters,
+RankingMetrics that turn a sparse vocabulary vector into a ranked token list
+(masking special tokens, :435-472) and score it with Recall@K (:474-511),
+MRR (:513), graded DCG/IDCG/nDCG (:551-634) plus per-domain aggregation;
+ModelComparison with paired t-test (:814) and bootstrap CI (:852); and a
+built-in Korean legal/medical eval set (:1003).
+
+This library evaluates which *vocabulary tokens* a SPLADE vector activates
+for a probe text — a model-diagnostic complement to the document-retrieval
+benchmark harness.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field, asdict
+from pathlib import Path
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+from splade_tpu.benchmark.metrics import _betainc  # shared t-dist p-value
+
+
+@dataclass
+class GradedRelevance:
+    """Relevance judgments for one probe: token -> grade 0..3."""
+
+    query: str
+    grades: Dict[str, int]
+    domain: str = ""
+
+    def relevant_tokens(self, min_grade: int = 1) -> List[str]:
+        return [t for t, g in self.grades.items() if g >= min_grade]
+
+
+@dataclass
+class EvaluationDataset:
+    """A set of graded probes with JSON persistence and domain filtering."""
+
+    name: str
+    items: List[GradedRelevance] = field(default_factory=list)
+
+    def add(self, query: str, grades: Mapping[str, int], domain: str = "") -> None:
+        self.items.append(GradedRelevance(query, dict(grades), domain))
+
+    def domains(self) -> List[str]:
+        return sorted({it.domain for it in self.items})
+
+    def filter_domain(self, domain: str) -> "EvaluationDataset":
+        return EvaluationDataset(
+            f"{self.name}:{domain}",
+            [it for it in self.items if it.domain == domain])
+
+    def save(self, path: str) -> None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        Path(path).write_text(json.dumps(
+            {"name": self.name, "items": [asdict(it) for it in self.items]},
+            ensure_ascii=False, indent=2))
+
+    @classmethod
+    def load(cls, path: str) -> "EvaluationDataset":
+        d = json.loads(Path(path).read_text())
+        return cls(d["name"], [GradedRelevance(**it) for it in d["items"]])
+
+
+class RankingMetrics:
+    """Score sparse vocabulary vectors against graded token judgments."""
+
+    def __init__(self, tokenizer=None, mask_special: bool = True):
+        self.tokenizer = tokenizer
+        self._special: set = set()
+        if tokenizer is not None and mask_special:
+            self._special = set(tokenizer.all_special_ids)
+
+    def ranked_tokens(
+        self, sparse_vec: np.ndarray, top_k: int = 100
+    ) -> List[Tuple[str, float]]:
+        """Vector -> ranked (token, weight), special tokens masked
+        (reference: ranking_metrics.py:435-472)."""
+        vec = np.asarray(sparse_vec).reshape(-1)
+        order = np.argsort(-vec)
+        out: List[Tuple[str, float]] = []
+        for idx in order:
+            if vec[idx] <= 0 or len(out) >= top_k:
+                break
+            if int(idx) in self._special:
+                continue
+            token = (self.tokenizer.decode([int(idx)]).strip()
+                     if self.tokenizer is not None else str(int(idx)))
+            if token:
+                out.append((token, float(vec[idx])))
+        return out
+
+    @staticmethod
+    def recall_at_k(ranked: Sequence[str], relevant: Sequence[str], k: int) -> float:
+        if not relevant:
+            return 0.0
+        hit = len(set(ranked[:k]) & set(relevant))
+        return hit / len(relevant)
+
+    @staticmethod
+    def mrr(ranked: Sequence[str], relevant: Sequence[str]) -> float:
+        rel = set(relevant)
+        for i, tok in enumerate(ranked, start=1):
+            if tok in rel:
+                return 1.0 / i
+        return 0.0
+
+    @staticmethod
+    def dcg(ranked: Sequence[str], grades: Mapping[str, int], k: int) -> float:
+        """Graded DCG with (2^g - 1) gains (reference: :551-585)."""
+        out = 0.0
+        for i, tok in enumerate(ranked[:k], start=1):
+            g = grades.get(tok, 0)
+            if g > 0:
+                out += (2 ** g - 1) / math.log2(i + 1)
+        return out
+
+    @classmethod
+    def ndcg(cls, ranked: Sequence[str], grades: Mapping[str, int], k: int = 10) -> float:
+        ideal = sorted(grades.values(), reverse=True)
+        idcg = sum((2 ** g - 1) / math.log2(i + 2)
+                   for i, g in enumerate(ideal[:k]) if g > 0)
+        if idcg == 0:
+            return 0.0
+        return cls.dcg(ranked, grades, k) / idcg
+
+    def evaluate_item(
+        self, sparse_vec: np.ndarray, item: GradedRelevance,
+        ks: Sequence[int] = (5, 10, 20),
+    ) -> Dict[str, float]:
+        ranked = [t for t, _ in self.ranked_tokens(sparse_vec, top_k=max(ks) * 2)]
+        relevant = item.relevant_tokens()
+        out = {f"recall@{k}": self.recall_at_k(ranked, relevant, k) for k in ks}
+        out["mrr"] = self.mrr(ranked, relevant)
+        out["ndcg@10"] = self.ndcg(ranked, item.grades, 10)
+        return out
+
+    def evaluate(
+        self,
+        vectors: Sequence[np.ndarray],
+        dataset: EvaluationDataset,
+        ks: Sequence[int] = (5, 10, 20),
+    ) -> Dict[str, Dict[str, float]]:
+        """Aggregate overall and per-domain (reference: :640-700)."""
+        assert len(vectors) == len(dataset.items)
+        per_item = [self.evaluate_item(v, it, ks)
+                    for v, it in zip(vectors, dataset.items)]
+        out: Dict[str, Dict[str, float]] = {"overall": _mean_dicts(per_item)}
+        for dom in dataset.domains():
+            rows = [m for m, it in zip(per_item, dataset.items) if it.domain == dom]
+            if rows:
+                out[dom or "_nodomain"] = _mean_dicts(rows)
+        return out
+
+
+def _mean_dicts(rows: Sequence[Mapping[str, float]]) -> Dict[str, float]:
+    keys = rows[0].keys()
+    return {k: float(np.mean([r[k] for r in rows])) for k in keys}
+
+
+class ModelComparison:
+    """Paired significance testing between two models' per-item metrics.
+
+    Reference: ranking_metrics.py:814 (paired t-test), :852 (bootstrap CI).
+    """
+
+    @staticmethod
+    def paired_t_test(a: Sequence[float], b: Sequence[float]) -> Dict[str, float]:
+        xa, xb = np.asarray(a, float), np.asarray(b, float)
+        d = xa - xb
+        n = len(d)
+        if n < 2:
+            return {"t_statistic": 0.0, "p_value": 1.0, "mean_diff": float(d.mean() if n else 0)}
+        if np.allclose(d.std(ddof=1), 0):
+            # Constant difference: zero variance. p -> 0 unless the diff is 0.
+            p = 1.0 if np.allclose(d.mean(), 0) else 0.0
+            return {"t_statistic": float("inf") if p == 0 else 0.0,
+                    "p_value": p, "mean_diff": float(d.mean())}
+        t = d.mean() / (d.std(ddof=1) / math.sqrt(n))
+        p = _betainc((n - 1) / 2.0, 0.5, (n - 1) / ((n - 1) + t * t))
+        return {"t_statistic": float(t), "p_value": float(p), "mean_diff": float(d.mean())}
+
+    @staticmethod
+    def bootstrap_ci(values: Sequence[float], n_boot: int = 1000,
+                     alpha: float = 0.05, seed: int = 42) -> Dict[str, float]:
+        rng = np.random.default_rng(seed)
+        vals = np.asarray(values, float)
+        if len(vals) == 0:
+            return {"lower": 0.0, "upper": 0.0, "mean": 0.0}
+        boots = np.asarray([
+            vals[rng.integers(0, len(vals), len(vals))].mean()
+            for _ in range(n_boot)])
+        return {"lower": float(np.percentile(boots, 100 * alpha / 2)),
+                "upper": float(np.percentile(boots, 100 * (1 - alpha / 2))),
+                "mean": float(boots.mean())}
+
+
+def builtin_korean_eval_set() -> EvaluationDataset:
+    """Small built-in Korean legal/medical probe set (reference: :1003 ships
+    an inline eval set; this is our own, same spirit)."""
+    ds = EvaluationDataset("korean-builtin")
+    ds.add("계약 해지 사유", {"계약": 3, "해지": 3, "사유": 2, "위반": 1, "날씨": 0}, "legal")
+    ds.add("손해 배상 청구", {"손해": 3, "배상": 3, "청구": 2, "소송": 1, "요리": 0}, "legal")
+    ds.add("고혈압 치료 방법", {"고혈압": 3, "치료": 3, "방법": 2, "혈압": 2, "약물": 1}, "medical")
+    ds.add("당뇨병 증상", {"당뇨병": 3, "증상": 3, "혈당": 2, "인슐린": 1, "자동차": 0}, "medical")
+    ds.add("인공지능 검색 모델", {"인공지능": 3, "검색": 3, "모델": 2, "학습": 1}, "tech")
+    return ds

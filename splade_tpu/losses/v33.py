@@ -11,10 +11,16 @@ TPU-native differences from the reference:
   jitted train step;
 - hard negatives always carry an explicit k axis [B, k, V] (static shapes;
   the reference branches on dim at runtime, losses.py:158-177);
-- optional *global* in-batch negatives: positives are all_gathered across the
-  data mesh axis inside the loss (`axis_name`), so InfoNCE sees the global
-  batch. The reference is per-rank only (losses.py:152-181); axis_name=None
-  reproduces that exactly.
+- the whole loss is written over the GLOBAL batch and compiled under GSPMD
+  jit (XLA inserts the collectives). The reference's *per-rank* negative
+  scope (losses.py:152-181) and per-rank FLOPS means are reproduced exactly
+  by ``num_blocks = num_devices``: InfoNCE candidates are masked to the
+  caller's contiguous block and FLOPS means are taken per block then
+  averaged — identical math to DDP's per-rank losses averaged by the
+  gradient all-reduce. ``num_blocks=1`` (with
+  ``global_in_batch_negatives=True``) gives the upgraded global-candidate
+  mode (BASELINE north star). Two shard_map-era helpers (``axis_name``)
+  remain for explicit-collective callers.
 """
 
 from __future__ import annotations
@@ -46,12 +52,23 @@ class LossMetrics(NamedTuple):
         return self._asdict()
 
 
-def flops_loss(sparse_repr: jnp.ndarray) -> jnp.ndarray:
+def flops_loss(sparse_repr: jnp.ndarray, num_blocks: int = 1) -> jnp.ndarray:
     """FLOPS regularizer (SPLADE-v2 Eq. 4; reference: losses.py:57-73).
 
     sum_j (mean_i w_ij)^2 over a [N, V] batch of representations.
+
+    num_blocks > 1 reproduces data-parallel per-device semantics on a global
+    batch: the mean is taken within each contiguous N/num_blocks block and
+    the block losses are averaged (= DDP's per-rank FLOPS averaged by the
+    gradient all-reduce).
     """
-    mean_act = jnp.mean(sparse_repr.astype(jnp.float32), axis=0)
+    x = sparse_repr.astype(jnp.float32)
+    if num_blocks > 1:
+        N, V = x.shape
+        x = x.reshape(num_blocks, N // num_blocks, V)
+        mean_act = jnp.mean(x, axis=1)  # [blocks, V]
+        return jnp.mean(jnp.sum(mean_act * mean_act, axis=-1))
+    mean_act = jnp.mean(x, axis=0)
     return jnp.sum(mean_act * mean_act)
 
 
@@ -80,28 +97,37 @@ def infonce_loss(
     negative: jnp.ndarray,
     temperature: float = 1.0,
     axis_name: Optional[str] = None,
+    num_blocks: int = 1,
 ) -> jnp.ndarray:
     """InfoNCE over in-batch positives + explicit hard negatives.
 
     Reference: losses.py:136-181. scores = [q·p_j / τ  |  q·n_k / τ], label =
     own positive's column.
 
-    With ``axis_name``, positives are all_gathered over that mesh axis so the
-    candidate set is the global batch (TPU upgrade; BASELINE north star).
+    num_blocks > 1: the candidate set for row i is masked to its contiguous
+    B/num_blocks block — the reference's per-rank negative scope expressed
+    on the global batch (GSPMD-friendly: no collectives in user code).
+    axis_name: legacy shard_map path — all_gather positives over that axis
+    so candidates span the global batch.
     """
     anchor = anchor.astype(jnp.float32)
     positive = positive.astype(jnp.float32)
     negative = _ensure_neg_k(negative).astype(jnp.float32)
     B = anchor.shape[0]
-    if axis_name is None:
-        candidates = positive  # [B, V]
-        labels = jnp.arange(B)
-    else:
+    if axis_name is not None:
         gathered = jax.lax.all_gather(positive, axis_name)  # [D, B, V]
         candidates = gathered.reshape(-1, positive.shape[-1])  # [D*B, V]
         labels = jax.lax.axis_index(axis_name) * B + jnp.arange(B)
+    else:
+        candidates = positive  # [B, V]
+        labels = jnp.arange(B)
     in_batch = jnp.dot(anchor, candidates.T,
                        preferred_element_type=jnp.float32) / temperature
+    if axis_name is None and num_blocks > 1:
+        block = B // num_blocks
+        row_blk = jnp.arange(B)[:, None] // block
+        col_blk = jnp.arange(B)[None, :] // block
+        in_batch = jnp.where(row_blk == col_blk, in_batch, -jnp.inf)
     hard = jnp.einsum("bv,bkv->bk", anchor, negative) / temperature
     scores = jnp.concatenate([in_batch, hard], axis=1)  # [B, C+k]
     logz = jax.nn.logsumexp(scores, axis=1)
@@ -154,23 +180,27 @@ def v33_loss(
     teacher_scores: Optional[jnp.ndarray] = None,
     teacher_pos_scores: Optional[jnp.ndarray] = None,
     teacher_neg_scores: Optional[jnp.ndarray] = None,
-    axis_name: Optional[str] = None,
+    num_blocks: int = 1,
 ) -> tuple[jnp.ndarray, LossMetrics]:
     """Full V33 loss (reference: losses.py:183-297).
 
     Args:
-        anchor/positive: [B, V]; negative: [B, V] or [B, k, V].
+        anchor/positive: [B, V] over the GLOBAL batch; negative: [B, V] or
+            [B, k, V].
         step: global optimizer step (traced scalar) for the λ schedule.
-        axis_name: data mesh axis for global in-batch negatives (None = the
-            reference's per-device behavior).
+        num_blocks: number of data-parallel blocks. With
+            cfg.global_in_batch_negatives=False (reference parity), InfoNCE
+            candidates and FLOPS means are per-block (= the reference's
+            per-rank semantics); FLOPS stays per-block in both modes (the
+            reference never globalizes it).
     """
     negative = _ensure_neg_k(negative)
-    infonce = infonce_loss(
-        anchor, positive, negative, cfg.temperature,
-        axis_name=axis_name if cfg.global_in_batch_negatives else None)
-    f_q = flops_loss(anchor)
-    f_d = flops_loss(positive)
-    f_n = flops_loss(negative.reshape(-1, negative.shape[-1]))
+    nce_blocks = 1 if cfg.global_in_batch_negatives else num_blocks
+    infonce = infonce_loss(anchor, positive, negative, cfg.temperature,
+                           num_blocks=nce_blocks)
+    f_q = flops_loss(anchor, num_blocks)
+    f_d = flops_loss(positive, num_blocks)
+    f_n = flops_loss(negative.reshape(-1, negative.shape[-1]), num_blocks)
     lam_neg_target = cfg.lambda_neg if cfg.lambda_neg > 0 else cfg.lambda_d
     lam_q = lambda_schedule(step, cfg.lambda_q, cfg.flops_warmup_steps, cfg.lambda_initial_ratio)
     lam_d = lambda_schedule(step, cfg.lambda_d, cfg.flops_warmup_steps, cfg.lambda_initial_ratio)

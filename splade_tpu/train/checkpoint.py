@@ -35,6 +35,14 @@ def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _shape_template(tree: Any) -> Any:
+    """Host-side zeros with matching structure/shape/dtype — a msgpack
+    restore template that costs no device->host transfer."""
+    return jax.tree_util.tree_map(
+        lambda x: (np.zeros(x.shape, x.dtype)
+                   if hasattr(x, "shape") else x), tree)
+
+
 def save_checkpoint(
     output_dir: str,
     state,
@@ -89,12 +97,12 @@ def load_checkpoint(
     import jax.numpy as jnp
 
     d = Path(ckpt_dir)
-    params = load_params(ckpt_dir, state.params)
+    params = load_params(ckpt_dir, _shape_template(state.params))
     ts_path = d / "training_state.msgpack"
     if not ts_path.exists():
         return state.replace(params=params), {"full_resume": False, "epoch": 0, "step": 0}
     template = {
-        "opt_state": _to_host(state.opt_state),
+        "opt_state": _shape_template(state.opt_state),
         "step": 0,
         "epoch": 0,
         "best_metric": 0.0,

@@ -81,6 +81,10 @@ def main(argv: Optional[list] = None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from splade_tpu.utils.runtime import setup_jax_cache
+
+    setup_jax_cache()
+
     from splade_tpu.config import load_config, save_config
     from splade_tpu.data import TripletCollator, load_training_data
     from splade_tpu.models.modernbert import ModernBertConfig

