@@ -1,0 +1,171 @@
+"""TPU-resident sparse impact index.
+
+Replaces the reference's external OpenSearch ``rank_features`` / SEISMIC
+index (reference: benchmark/index_manager.py:118-147, searchers.py:130-186;
+SURVEY.md L9): corpus impact vectors live in device HBM and queries are
+scored by one MXU matmul + on-device top-k, so only (doc_idx, score) pairs
+ever cross the host boundary.
+
+Layout choice (TPU-first): at SPLADE sparsity (~54 nnz of 50K dims) a
+*dense* bf16 impact matrix [N, V] is the MXU-native layout — 10K docs is
+~1 GB HBM, one [B,V]x[V,N] matmul scores the whole corpus exactly at
+~10^5 queries/sec, and the matrix shards over the data mesh axis for larger
+corpora (each device scores its shard; top-k merge on host or via a second
+top_k). An int8-quantized variant halves memory again at negligible recall
+cost. This is both simpler and faster than translating OpenSearch's
+inverted-list ANN (SEISMIC) onto hardware built for dense tiles; a
+postings-list Pallas path only pays off at >10^6 docs/chip.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class TpuImpactIndex:
+    """Exact sparse-dot-product retrieval from device HBM.
+
+    API mirrors the in-memory exact index (search_vector / search_dense) so
+    searchers are backend-agnostic.
+    """
+
+    def __init__(
+        self,
+        vocab_size: int,
+        dtype: str = "bfloat16",
+        quantize_int8: bool = False,
+        batch_pad: int = 8,
+    ):
+        import jax.numpy as jnp
+
+        self.vocab_size = vocab_size
+        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.quantize_int8 = quantize_int8
+        self.batch_pad = batch_pad
+        self.doc_ids: List[str] = []
+        self._rows: List[np.ndarray] = []  # staged host rows (f32 dense)
+        self._mat = None                   # device [N_pad, V]
+        self._scale = None                 # int8 dequant scale
+        self._n_pad = 0
+        self._search_jit = None
+
+    # ---------------------------------------------------------- build
+    def add(self, doc_id: str, indices: np.ndarray, values: np.ndarray) -> None:
+        row = np.zeros(self.vocab_size, np.float32)
+        row[np.asarray(indices, np.int64)] = np.asarray(values, np.float32)
+        self.doc_ids.append(doc_id)
+        self._rows.append(row)
+        self._mat = None
+
+    def add_batch(self, doc_ids: Sequence[str],
+                  vecs: Sequence[Tuple[np.ndarray, np.ndarray]]) -> None:
+        for did, (idx, val) in zip(doc_ids, vecs):
+            self.add(did, idx, val)
+
+    def build(self) -> None:
+        """Pad to a tile-friendly row count and upload to HBM."""
+        import jax
+        import jax.numpy as jnp
+
+        n = len(self._rows)
+        if n == 0:
+            raise ValueError("empty index")
+        self._n_pad = _round_up(n, 128)
+        host = np.zeros((self._n_pad, self.vocab_size), np.float32)
+        host[:n] = np.stack(self._rows)
+        if self.quantize_int8:
+            scale = np.maximum(np.abs(host).max(), 1e-6) / 127.0
+            q = np.clip(np.round(host / scale), -127, 127).astype(np.int8)
+            self._mat = jax.device_put(q)
+            self._scale = float(scale)
+        else:
+            self._mat = jax.device_put(host.astype(self.dtype))
+            self._scale = 1.0
+        self._make_search()
+        logger.info("impact index: %d docs (%d padded) x %d dims on device "
+                    "(%s%.0f MB)", n, self._n_pad, self.vocab_size,
+                    "int8, " if self.quantize_int8 else "",
+                    self._mat.size * self._mat.dtype.itemsize / 1e6)
+
+    def _make_search(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        mat = self._mat
+        n_valid = len(self.doc_ids)
+        scale = self._scale
+
+        def search(queries: jnp.ndarray, k: int):
+            q = queries.astype(mat.dtype) if mat.dtype != jnp.int8 else queries
+            if mat.dtype == jnp.int8:
+                scores = jax.lax.dot_general(
+                    queries.astype(jnp.float32), mat.astype(jnp.float32).T,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            else:
+                scores = jax.lax.dot_general(
+                    q, mat.T, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            # Mask padding rows.
+            idx = jnp.arange(scores.shape[1])
+            scores = jnp.where(idx[None, :] < n_valid, scores, -jnp.inf)
+            return jax.lax.top_k(scores, k)
+
+        self._search_jit = jax.jit(search, static_argnums=1)
+
+    # ---------------------------------------------------------- search
+    def search_batch_dense(
+        self, queries: np.ndarray, k: int = 10
+    ) -> List[List[Tuple[str, float]]]:
+        """queries: [B, V] dense impact vectors -> per-query ranked lists."""
+        import jax
+
+        if self._mat is None:
+            self.build()
+        B = queries.shape[0]
+        pad = _round_up(max(B, 1), self.batch_pad) - B
+        if pad:
+            queries = np.concatenate(
+                [queries, np.zeros((pad, self.vocab_size), queries.dtype)])
+        vals, idxs = self._search_jit(jax.numpy.asarray(queries), k)
+        vals, idxs = np.asarray(vals)[:B], np.asarray(idxs)[:B]
+        out = []
+        for b in range(B):
+            out.append([(self.doc_ids[int(i)], float(v))
+                        for v, i in zip(vals[b], idxs[b]) if np.isfinite(v)])
+        return out
+
+    def search_vector(
+        self, indices: np.ndarray, values: np.ndarray, k: int = 10
+    ) -> List[Tuple[str, float]]:
+        q = np.zeros((1, self.vocab_size), np.float32)
+        q[0, np.asarray(indices, np.int64)] = np.asarray(values, np.float32)
+        return self.search_batch_dense(q, k)[0]
+
+    def search_dense(self, vec: np.ndarray, k: int = 10, query_top_k: int = 0
+                     ) -> List[Tuple[str, float]]:
+        vec = np.asarray(vec, np.float32)
+        if query_top_k:
+            nz = np.flatnonzero(vec > 0)
+            if len(nz) > query_top_k:
+                vals = vec[nz]
+                drop = nz[np.argpartition(-vals, query_top_k - 1)[query_top_k:]]
+                vec = vec.copy()
+                vec[drop] = 0.0
+        return self.search_batch_dense(vec[None], k)[0]
+
+    def __len__(self) -> int:
+        return len(self.doc_ids)
+
+    @property
+    def memory_bytes(self) -> int:
+        return 0 if self._mat is None else self._mat.size * self._mat.dtype.itemsize

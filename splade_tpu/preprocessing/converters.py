@@ -1,0 +1,172 @@
+"""Task-specific converters: RawSample -> Triplet.
+
+Reference: src/preprocessing/converters/ (8 converters over nli / qa / sts /
+classification / dialog / AI-Hub sources, base.py:11-102). Conversion rules:
+
+- NLI: premise=query, entailment hypothesis=positive, contradiction=negative.
+- QA: question=query, answer passage/context=positive (negatives mined later).
+- STS: high-similarity pair (score >= pos threshold) -> query/positive;
+  low-similarity pair supplies the negative.
+- Classification: same-label texts are positives, different-label negatives.
+- Dialog: utterance=query, response=positive.
+- Pair: generic (text_a, text_b[, negative]) passthrough.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+from typing import Dict, Iterable, List, Optional
+
+from splade_tpu.preprocessing.types import RawSample, Triplet
+
+
+class BaseConverter:
+    task = "base"
+
+    def convert(self, samples: List[RawSample]) -> List[Triplet]:
+        raise NotImplementedError
+
+    @staticmethod
+    def _mk(query, positive, negative=None, pair_type="", source="") -> Optional[Triplet]:
+        t = Triplet(query=query or "", positive=positive or "",
+                    negative=negative, pair_type=pair_type, source=source)
+        return t if t.is_valid() else None
+
+
+class NLIConverter(BaseConverter):
+    task = "nli"
+
+    def convert(self, samples: List[RawSample]) -> List[Triplet]:
+        # Group hypotheses by premise and label.
+        by_premise: Dict[str, Dict[str, List[str]]] = defaultdict(lambda: defaultdict(list))
+        src = samples[0].source if samples else ""
+        for s in samples:
+            f = s.fields
+            label = str(f.get("label", "")).lower()
+            by_premise[f.get("premise", "")][label].append(f.get("hypothesis", ""))
+        out: List[Triplet] = []
+        for premise, groups in by_premise.items():
+            ents = groups.get("entailment", []) or groups.get("0", [])
+            cons = groups.get("contradiction", []) or groups.get("2", [])
+            for i, pos in enumerate(ents):
+                neg = cons[i % len(cons)] if cons else None
+                t = self._mk(premise, pos, neg, "nli", src)
+                if t:
+                    out.append(t)
+        return out
+
+
+class QAConverter(BaseConverter):
+    task = "qa"
+
+    def convert(self, samples: List[RawSample]) -> List[Triplet]:
+        out = []
+        for s in samples:
+            f = s.fields
+            t = self._mk(f.get("question"), f.get("context") or f.get("answer"),
+                         None, "qa", s.source)
+            if t:
+                out.append(t)
+        return out
+
+
+class STSConverter(BaseConverter):
+    task = "sts"
+
+    def __init__(self, pos_threshold: float = 4.0, neg_threshold: float = 1.5,
+                 scale: float = 5.0):
+        self.pos_threshold = pos_threshold
+        self.neg_threshold = neg_threshold
+        self.scale = scale
+
+    def convert(self, samples: List[RawSample]) -> List[Triplet]:
+        pos_pairs, neg_texts = [], []
+        src = samples[0].source if samples else ""
+        for s in samples:
+            f = s.fields
+            score = float(f.get("score", 0.0))
+            if score >= self.pos_threshold:
+                pos_pairs.append((f.get("sentence1", ""), f.get("sentence2", "")))
+            elif score <= self.neg_threshold:
+                neg_texts.append(f.get("sentence2", ""))
+        out = []
+        for i, (a, b) in enumerate(pos_pairs):
+            neg = neg_texts[i % len(neg_texts)] if neg_texts else None
+            t = self._mk(a, b, neg, "sts", src)
+            if t:
+                out.append(t)
+        return out
+
+
+class ClassificationConverter(BaseConverter):
+    task = "classification"
+
+    def __init__(self, max_per_label: int = 1000, seed: int = 42):
+        self.max_per_label = max_per_label
+        self.seed = seed
+
+    def convert(self, samples: List[RawSample]) -> List[Triplet]:
+        rng = random.Random(self.seed)
+        by_label: Dict[str, List[str]] = defaultdict(list)
+        src = samples[0].source if samples else ""
+        for s in samples:
+            f = s.fields
+            by_label[str(f.get("label"))].append(f.get("text", ""))
+        labels = sorted(by_label)
+        out: List[Triplet] = []
+        for label in labels:
+            texts = by_label[label][: self.max_per_label]
+            others = [l for l in labels if l != label and by_label[l]]
+            for i in range(len(texts) - 1):
+                neg = (rng.choice(by_label[rng.choice(others)]) if others else None)
+                t = self._mk(texts[i], texts[i + 1], neg, "classification", src)
+                if t:
+                    out.append(t)
+        return out
+
+
+class DialogConverter(BaseConverter):
+    task = "dialog"
+
+    def convert(self, samples: List[RawSample]) -> List[Triplet]:
+        out = []
+        for s in samples:
+            f = s.fields
+            t = self._mk(f.get("utterance") or f.get("instruction"),
+                         f.get("response") or f.get("output"),
+                         None, "dialog", s.source)
+            if t:
+                out.append(t)
+        return out
+
+
+class PairConverter(BaseConverter):
+    task = "pair"
+
+    def convert(self, samples: List[RawSample]) -> List[Triplet]:
+        out = []
+        for s in samples:
+            f = s.fields
+            t = self._mk(f.get("query") or f.get("text_a"),
+                         f.get("positive") or f.get("text_b"),
+                         f.get("negative"), f.get("pair_type", "pair"), s.source)
+            if t:
+                out.append(t)
+        return out
+
+
+CONVERTERS = {
+    "nli": NLIConverter,
+    "qa": QAConverter,
+    "sts": STSConverter,
+    "classification": ClassificationConverter,
+    "dialog": DialogConverter,
+    "pair": PairConverter,
+}
+
+
+def get_converter(task: str) -> BaseConverter:
+    if task not in CONVERTERS:
+        raise KeyError(f"no converter for task '{task}'")
+    return CONVERTERS[task]()
