@@ -100,27 +100,32 @@ class TpuImpactIndex:
         import jax
         import jax.numpy as jnp
 
-        mat = self._mat
         n_valid = len(self.doc_ids)
         scale = self._scale
+        is_int8 = self.quantize_int8
 
-        def search(queries: jnp.ndarray, k: int):
-            q = queries.astype(mat.dtype) if mat.dtype != jnp.int8 else queries
-            if mat.dtype == jnp.int8:
+        # NOTE: the corpus matrix is an ARGUMENT, not a closure — a
+        # closed-over device array becomes an HLO constant, shipping the
+        # whole index inside the compile request (observed: HTTP 413 on the
+        # remote-compile backend at 1 GB).
+        def search(mat: jnp.ndarray, queries: jnp.ndarray, k: int):
+            if is_int8:
                 scores = jax.lax.dot_general(
-                    queries.astype(jnp.float32), mat.astype(jnp.float32).T,
+                    queries.astype(jnp.bfloat16),
+                    mat.astype(jnp.bfloat16).T,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
             else:
                 scores = jax.lax.dot_general(
-                    q, mat.T, (((1,), (0,)), ((), ())),
+                    queries.astype(mat.dtype), mat.T, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             # Mask padding rows.
             idx = jnp.arange(scores.shape[1])
             scores = jnp.where(idx[None, :] < n_valid, scores, -jnp.inf)
             return jax.lax.top_k(scores, k)
 
-        self._search_jit = jax.jit(search, static_argnums=1)
+        jitted = jax.jit(search, static_argnums=2)
+        self._search_jit = lambda q, k: jitted(self._mat, q, k)
 
     # ---------------------------------------------------------- search
     def search_batch_dense(
