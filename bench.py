@@ -39,13 +39,15 @@ def main() -> None:
     n_chips = len(devices)
     mesh = make_mesh(devices=devices)
 
-    B = 32 * n_chips  # per-chip batch 32, accum 2 ~= reference 64x4 density
-    ACCUM = 2
+    B = 16 * n_chips  # per-chip micro-batch 16 x accum 4 (best measured)
+    ACCUM = 4
     cfg = V33Config.from_dict({
         "data": {"batch_size": B // n_chips},
         "training": {"gradient_accumulation_steps": ACCUM},
     })
-    mcfg = ModernBertConfig(dtype=jnp.bfloat16, remat=True)
+    # remat off: B=16 fits HBM without it and saves the recompute pass
+    # (125 vs 114 triplets/s/chip measured).
+    mcfg = ModernBertConfig(dtype=jnp.bfloat16, remat=False)
     model = SpladeEncoder(mcfg, pool_impl="streamed")
     ids0 = jnp.zeros((1, 16), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), ids0, jnp.ones_like(ids0))["params"]

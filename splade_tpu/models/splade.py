@@ -27,8 +27,9 @@ class SpladeEncoder(nn.Module):
     """
 
     config: ModernBertConfig
-    pool_impl: str = "streamed"
+    pool_impl: str = "pallas"
     pool_tile: int = 6250
+    pallas_tile_v: int = 512
 
     def setup(self) -> None:
         self.mlm = ModernBertForMaskedLM(self.config, name="mlm")
@@ -42,6 +43,12 @@ class SpladeEncoder(nn.Module):
             logits = self.mlm.project_vocab(transformed)
             return splade_pool_from_logits(logits, attention_mask)
         emb, bias = self.mlm.decoder_weights()
+        if self.pool_impl == "pallas":
+            from splade_tpu.ops.fused_splade import fused_splade_pool
+
+            return fused_splade_pool(
+                transformed, emb.astype(transformed.dtype), bias,
+                attention_mask, self.pallas_tile_v)
         return splade_pool_streamed(
             transformed, emb, bias, attention_mask, tile=self.pool_tile)
 
