@@ -1,0 +1,80 @@
+# splade-tpu orchestration (reference counterpart: Makefile:101-330)
+
+PYTHON ?= python
+CONFIG ?= configs/train_v33.yaml
+OUTPUT ?= outputs/train_v33
+CHECKPOINT ?= $(OUTPUT)/final_model
+
+.PHONY: help test test-fast train train-resume train-debug \
+        benchmark-ko-strategyqa benchmark-miracl-ko benchmark-mrtydi-ko \
+        benchmark-triplet-val bench bench-qps export-hf idf-tool \
+        preprocess profile clean
+
+help:
+	@grep -E '^[a-z-]+:' Makefile | sed 's/:.*//' | sort -u
+
+# ------------------------------------------------------------------ tests
+test:
+	$(PYTHON) -m pytest tests/ -q
+
+test-fast:
+	$(PYTHON) -m pytest tests/ -q -x -k "not parity and not trainer_end"
+
+# ------------------------------------------------------------------ training
+train:
+	$(PYTHON) -m splade_tpu.train v33 --config $(CONFIG)
+
+train-resume:
+	$(PYTHON) -m splade_tpu.train v33 --config $(CONFIG) --resume
+
+train-debug:
+	$(PYTHON) -m splade_tpu.train v33 --config $(CONFIG) --debug
+
+train-v34-kd:
+	$(PYTHON) -m splade_tpu.train v33 --config configs/train_v34_kd.yaml \
+	    --checkpoint $(CHECKPOINT)
+
+train-v34-multi-neg:
+	$(PYTHON) -m splade_tpu.train v33 --config configs/train_v34_multi_neg.yaml \
+	    --checkpoint $(CHECKPOINT)
+
+# ------------------------------------------------------------------ benchmarks
+benchmark-ko-strategyqa:
+	$(PYTHON) -m splade_tpu.benchmark.runner --dataset ko-strategyqa \
+	    --checkpoint $(CHECKPOINT)
+
+benchmark-miracl-ko:
+	$(PYTHON) -m splade_tpu.benchmark.runner --dataset miracl-ko \
+	    --checkpoint $(CHECKPOINT)
+
+benchmark-mrtydi-ko:
+	$(PYTHON) -m splade_tpu.benchmark.runner --dataset mrtydi-ko \
+	    --checkpoint $(CHECKPOINT)
+
+benchmark-triplet-val:
+	$(PYTHON) -m splade_tpu.benchmark.runner --dataset triplet-val \
+	    --val-files "data/v29.0/val.jsonl" --checkpoint $(CHECKPOINT)
+
+bench:
+	$(PYTHON) bench.py
+
+bench-qps:
+	$(PYTHON) scripts/bench_qps.py
+
+# ------------------------------------------------------------------ offline tier
+preprocess:
+	$(PYTHON) scripts/collect_korean_datasets.py --output-dir data/v29.0
+
+export-hf:
+	$(PYTHON) scripts/export_hf.py --checkpoint $(CHECKPOINT) \
+	    --output huggingface/v33_tpu
+
+idf-tool:
+	$(MAKE) -C tools/idf_compute
+
+profile:
+	$(PYTHON) scripts/profile_train_step.py
+
+clean:
+	rm -rf outputs/ .pytest_cache
+	$(MAKE) -C tools/idf_compute clean

@@ -1,0 +1,98 @@
+"""C++ idf_compute tool: build, run, and verify against the HF tokenizer
+python reference (same counting unit + smoothing)."""
+
+import json
+import math
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from splade_tpu.utils.idf import compute_idf, load_idf, triplet_texts
+
+TOOL_DIR = Path(__file__).resolve().parent.parent / "tools" / "idf_compute"
+
+
+@pytest.fixture(scope="module")
+def tool():
+    r = subprocess.run(["make", "-C", str(TOOL_DIR)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    return TOOL_DIR / "idf_compute"
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    from splade_tpu.utils.tokenizer import create_tokenizer, resolve_tokenizer_path
+
+    if not Path(resolve_tokenizer_path()).exists():
+        pytest.skip("no local tokenizer artifact")
+    return create_tokenizer()
+
+
+def test_idf_formulas():
+    class Tok:
+        def __call__(self, text, **kw):
+            return {"input_ids": [hash(w) % 10 for w in text.split()]}
+
+    texts = ["a b", "a", "c"]
+    idf, meta = compute_idf(texts, Tok(), 10, mode="bm25")
+    assert meta["num_docs"] == 3
+    ida = idf[hash("a") % 10]
+    assert ida == pytest.approx(math.log(1 + (3 - 2 + 0.5) / 2.5))
+    idf_std, _ = compute_idf(texts, Tok(), 10, mode="standard")
+    assert idf_std[hash("a") % 10] == pytest.approx(math.log(3 / 3))
+
+
+def test_cpp_tool_matches_python_reference(tool, tokenizer, tmp_path):
+    rows = [
+        {"query": "한국어 검색 모델", "positive": "신경 희소 검색을 위한 문서",
+         "negative": "무관한 내용의 텍스트"},
+        {"query": "서울 여행 맛집, 추천!", "positive": "서울의 유명한 음식점 목록",
+         "negatives": ["부산 여행 정보", "제주도 관광 안내"]},
+        {"query": "machine learning 기초", "positive": "머신러닝(ML) 입문 강의: 1장"},
+    ]
+    shard = tmp_path / "train.jsonl"
+    shard.write_text("\n".join(json.dumps(r, ensure_ascii=False) for r in rows),
+                     encoding="utf-8")
+
+    from splade_tpu.utils.tokenizer import resolve_tokenizer_path
+
+    vocab = Path(resolve_tokenizer_path()) / "vocab.txt"
+    out = tmp_path / "idf"
+    r = subprocess.run(
+        [str(tool), "--vocab", str(vocab), "--output", str(out),
+         "--mode", "bm25", "--threads", "2", str(shard)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    idf_cpp, meta_cpp = load_idf(str(out))
+
+    texts = triplet_texts([str(shard)])
+    assert meta_cpp["num_docs"] == len(texts) == 9
+    idf_py, meta_py = compute_idf(texts, tokenizer, meta_cpp["vocab_size"])
+    # Document frequencies must match exactly -> identical IDF arrays.
+    mismatch = np.flatnonzero(np.abs(idf_cpp - idf_py) > 1e-5)
+    assert mismatch.size == 0, (
+        f"{mismatch.size} vocab ids differ, e.g. "
+        f"{[(int(i), tokenizer.decode([int(i)])) for i in mismatch[:10]]}")
+    assert meta_cpp["df_nonzero"] == meta_py["df_nonzero"]
+
+
+def test_cpp_tool_standard_mode_and_multifile(tool, tokenizer, tmp_path):
+    r1 = {"query": "하나", "positive": "둘 셋"}
+    r2 = {"query": "넷", "positive": "다섯"}
+    (tmp_path / "a.jsonl").write_text(json.dumps(r1, ensure_ascii=False))
+    (tmp_path / "b.jsonl").write_text(json.dumps(r2, ensure_ascii=False))
+    from splade_tpu.utils.tokenizer import resolve_tokenizer_path
+
+    vocab = Path(resolve_tokenizer_path()) / "vocab.txt"
+    out = tmp_path / "idf_std"
+    r = subprocess.run(
+        [str(tool), "--vocab", str(vocab), "--output", str(out),
+         "--mode", "standard", str(tmp_path / "a.jsonl"), str(tmp_path / "b.jsonl")],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    idf, meta = load_idf(str(out))
+    assert meta["num_docs"] == 4
+    # a never-seen token gets ln(N/1)
+    assert idf[0] == pytest.approx(math.log(4.0 / 1.0), rel=1e-6) or meta["df_nonzero"] > 0
