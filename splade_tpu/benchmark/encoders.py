@@ -53,6 +53,20 @@ class SparseEncoderV33:
         self._banned = self._banned_token_mask(tokenizer) if filter_special else None
         self._encode_jit = jax.jit(
             lambda p, ids, m: model.apply({"params": p}, ids, m)[0])
+        # Device-side top-k: only [B, k] (values, indices) cross the host
+        # boundary instead of the dense [B, V] f32 matrix (200KB/query on
+        # the tunneled dev chip). The banned-token mask is applied on device.
+        import jax.numpy as jnp
+
+        banned = (jnp.asarray(self._banned) if self._banned is not None else None)
+
+        def encode_topk(p, ids, m, k):
+            repr_, _ = model.apply({"params": p}, ids, m)
+            if banned is not None:
+                repr_ = jnp.where(banned[None, :], 0.0, repr_)
+            return jax.lax.top_k(repr_, k)
+
+        self._encode_topk_jit = jax.jit(encode_topk, static_argnums=3)
 
     @staticmethod
     def _banned_token_mask(tokenizer) -> np.ndarray:
@@ -111,8 +125,29 @@ class SparseEncoderV33:
 
     def encode_queries(self, texts: Sequence[str]) -> List[SparseVec]:
         """Query vectors truncated to the strongest ``query_top_k`` tokens
-        (reference: searchers.py:161-170 builds top-64 rank_feature clauses)."""
-        return self._encode_texts(texts, self.query_max_length, self.query_top_k)
+        (reference: searchers.py:161-170 builds top-64 rank_feature clauses).
+        Top-k selection happens ON DEVICE; only [B, k] pairs transfer."""
+        import jax.numpy as jnp
+
+        out: List[SparseVec] = []
+        B, k = self.batch_size, self.query_top_k
+        for i in range(0, len(texts), B):
+            chunk = list(texts[i:i + B])
+            pad = B - len(chunk)
+            enc = self.tokenizer(
+                chunk + [""] * pad, padding="max_length", truncation=True,
+                max_length=self.query_max_length, return_tensors="np")
+            vals, idxs = self._encode_topk_jit(
+                self.params,
+                jnp.asarray(enc["input_ids"].astype(np.int32)),
+                jnp.asarray(enc["attention_mask"].astype(np.int32)), k)
+            vals = np.asarray(vals)[: len(chunk)]
+            idxs = np.asarray(idxs)[: len(chunk)]
+            for r in range(len(chunk)):
+                nz = vals[r] > 0
+                out.append((idxs[r][nz].astype(np.int32),
+                            vals[r][nz].astype(np.float32)))
+        return out
 
     def encode_for_query(self, text: str) -> SparseVec:
         return self.encode_queries([text])[0]

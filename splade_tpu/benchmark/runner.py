@@ -43,6 +43,7 @@ class BenchmarkRunner:
         top_k: int = 10,
         include_hybrid: bool = True,
         output_dir: str = "outputs/benchmark",
+        index_backend: str = "exact",
     ):
         self.data = data
         self.sparse_encoder = sparse_encoder
@@ -50,6 +51,7 @@ class BenchmarkRunner:
         self.tokenizer = tokenizer
         self.top_k = top_k
         self.include_hybrid = include_hybrid
+        self.index_backend = index_backend
         self.output_dir = Path(output_dir)
         self.searchers: Dict[str, BaseSearcher] = {}
         self.results: Dict[str, List[QueryResult]] = {}
@@ -74,10 +76,17 @@ class BenchmarkRunner:
         if self.sparse_encoder is not None:
             t0 = time.time()
             vecs = self.sparse_encoder.encode_documents(texts)
-            sparse_index = ExactSparseIndex(
-                vocab_size=len(self.tokenizer) if self.tokenizer else 50000)
+            vocab = len(self.tokenizer) if self.tokenizer else 50000
+            if self.index_backend == "tpu":
+                from splade_tpu.ops.impact_index import TpuImpactIndex
+
+                sparse_index = TpuImpactIndex(vocab_size=vocab)
+            else:
+                sparse_index = ExactSparseIndex(vocab_size=vocab)
             for did, (idx, vals) in zip(doc_ids, vecs):
                 sparse_index.add(did, idx, vals)
+            if self.index_backend == "tpu":
+                sparse_index.build()
             avg_nnz = sparse_index.nnz / max(len(doc_ids), 1)
             logger.info("sparse-encoded %d docs in %.1fs (avg %.1f nnz/doc)",
                         len(doc_ids), time.time() - t0, avg_nnz)
@@ -165,6 +174,8 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--no-hybrid", action="store_true")
     p.add_argument("--no-sparse", action="store_true")
+    p.add_argument("--index", default="exact", choices=["exact", "tpu"],
+                   help="sparse index backend: exact CPU CSR or TPU-resident")
     p.add_argument("--output-dir", default=None)
     args = p.parse_args(argv)
     setup_logging()
@@ -193,7 +204,8 @@ def main(argv: Optional[list] = None) -> int:
     runner = BenchmarkRunner(
         data, sparse_encoder=sparse_encoder, tokenizer=tokenizer,
         top_k=args.top_k, include_hybrid=not args.no_hybrid,
-        output_dir=args.output_dir or f"outputs/benchmark/{args.dataset}")
+        output_dir=args.output_dir or f"outputs/benchmark/{args.dataset}",
+        index_backend=args.index)
     summary = runner.run()
     tests = runner.statistical_tests()
     runner.save(summary, tests)

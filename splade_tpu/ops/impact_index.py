@@ -52,6 +52,7 @@ class TpuImpactIndex:
         self.quantize_int8 = quantize_int8
         self.batch_pad = batch_pad
         self.doc_ids: List[str] = []
+        self.nnz = 0
         self._rows: List[np.ndarray] = []  # staged host rows (f32 dense)
         self._mat = None                   # device [N_pad, V]
         self._scale = None                 # int8 dequant scale
@@ -63,6 +64,7 @@ class TpuImpactIndex:
         row = np.zeros(self.vocab_size, np.float32)
         row[np.asarray(indices, np.int64)] = np.asarray(values, np.float32)
         self.doc_ids.append(doc_id)
+        self.nnz += len(indices)
         self._rows.append(row)
         self._mat = None
 

@@ -173,10 +173,13 @@ class Trainer:
         n_dev = self.mesh.devices.size
         self.global_batch = cfg.data.batch_size * n_dev
         self.accum = cfg.training.gradient_accumulation_steps
+        # Each host loads 1/P of the batch; with one host this is the whole
+        # global batch (device sharding happens at device_put).
+        n_proc = jax.process_count()
         self.loader = create_dataloader(
-            train_data, collator, self.global_batch,
+            train_data, collator, self.global_batch // n_proc,
             shuffle=True, seed=cfg.training.seed, drop_last=True,
-            process_index=0, process_count=1,
+            process_index=jax.process_index(), process_count=n_proc,
             prefetch_depth=cfg.data.prefetch_depth,
         )
         steps_per_epoch = max(len(self.loader) // self.accum, 1)
@@ -228,6 +231,10 @@ class Trainer:
             gstep = int(step)
             if gstep % cfg.log_every_n_steps == 0 or gstep == 1:
                 host = {k: float(v) for k, v in metrics.items()}
+                if not np.isfinite(host["loss"]):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {gstep}: {host} — "
+                        "stopping before the checkpoint is poisoned")
                 host["epoch"] = epoch
                 host["samples_per_sec"] = compute_throughput(samples, time.time() - t0)
                 self.ema_nonzero_q.update(host["nonzero_q"])
