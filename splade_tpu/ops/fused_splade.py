@@ -130,14 +130,6 @@ def _bwd_dw_kernel(h_ref, w_ref, b_ref, mask_ref, m_ref, g_ref, dw_ref):
 def _bwd_pallas(h, w_pad, b_pad, mask, m, g_pre, tile_v: int):
     B, S, H = h.shape
     Vp = w_pad.shape[0]
-    common_in = [
-        pl.BlockSpec((1, S, H), None, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_v, H), None, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_v), None, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, S, 1), None, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_v), None, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_v), None, memory_space=pltpu.VMEM),
-    ]
 
     def specs(order):
         # order: 'bv' (b slow, vt fast) or 'vb' (vt slow, b fast)

@@ -4,7 +4,7 @@ Reference counterpart: the DDP trainer (reference:
 src/train/cli/train_v33_ddp.py:289-448 train_epoch, :451-736 main). TPU-native
 restructuring:
 
-- one jitted ``shard_map`` step over a data mesh replaces 8 DDP processes;
+- one jitted GSPMD step over a data mesh replaces 8 DDP processes;
 - gradient accumulation is a ``lax.scan`` over micro-batches *inside* the
   step, so the cross-chip gradient reduction (pmean over ICI) happens once
   per optimizer step — the reference all-reduces every micro-batch because it
@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import logging
 import time
-from functools import partial
 from typing import Any, Dict, Iterable, List, Optional
 
 import jax
