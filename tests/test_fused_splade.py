@@ -108,3 +108,44 @@ def test_encoder_pallas_impl_matches_logits(rng):
     r2, t2 = fused.apply({"params": params}, ids, mask)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-4, atol=1e-4)
+
+
+def test_v2_row_blocked_matches_reference(inputs):
+    from splade_tpu.ops.fused_splade_v2 import fused_splade_pool_v2
+
+    h, w, bias, mask = inputs
+    # B=3 -> row_block falls back to 1; also exercise explicit rb=1
+    pooled, tw = fused_splade_pool_v2(h, w, bias, mask, 128, 1)
+    want_p, want_tw = _reference(h, w, bias, mask)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(want_p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tw), np.asarray(want_tw),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_v2(h, w, bias):
+        p, _ = fused_splade_pool_v2(h, w, bias, mask, 128, 1)
+        return jnp.sum(jnp.sin(p) * p)
+
+    def loss_ref(h, w, bias):
+        p, _ = _reference(h, w, bias, mask)
+        return jnp.sum(jnp.sin(p) * p)
+
+    gf = jax.grad(loss_v2, argnums=(0, 1, 2))(h, w, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_v2_row_block_4(rng):
+    from splade_tpu.ops.fused_splade_v2 import fused_splade_pool_v2
+
+    B, S, H, V = 4, 8, 32, 256
+    h = jnp.asarray(rng.normal(size=(B, S, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    mask = jnp.ones((B, S), jnp.int32)
+    p4, _ = fused_splade_pool_v2(h, w, bias, mask, 128, 4)
+    want, _ = _reference(h, w, bias, mask)
+    np.testing.assert_allclose(np.asarray(p4), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
