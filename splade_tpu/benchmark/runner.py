@@ -55,6 +55,31 @@ class BenchmarkRunner:
         self.output_dir = Path(output_dir)
         self.searchers: Dict[str, BaseSearcher] = {}
         self.results: Dict[str, List[QueryResult]] = {}
+        self._encoded = None  # (doc_ids, sparse vecs) cache
+
+    def save_encodings(self, path: str) -> None:
+        """Persist encoded sparse vectors so reruns skip re-encoding
+        (reference: --skip-setup via saved benchmark_data.json)."""
+        import numpy as np
+
+        if not self._encoded:
+            raise RuntimeError("run setup() before save_encodings()")
+        doc_ids, vecs = self._encoded
+        np.savez_compressed(
+            path,
+            doc_ids=np.asarray(doc_ids, dtype=object),
+            indices=np.asarray([i for i, _ in vecs], dtype=object),
+            values=np.asarray([v for _, v in vecs], dtype=object))
+        logger.info("saved encodings -> %s", path)
+
+    def load_encodings(self, path: str) -> None:
+        import numpy as np
+
+        z = np.load(path, allow_pickle=True)
+        self._encoded = (list(z["doc_ids"]),
+                         list(zip(z["indices"], z["values"])))
+        logger.info("loaded %d encoded docs from %s",
+                    len(self._encoded[0]), path)
 
     def setup(self) -> None:
         """Build all indexes from the corpus (reference: runner setup +
@@ -75,7 +100,12 @@ class BenchmarkRunner:
         sparse_index = None
         if self.sparse_encoder is not None:
             t0 = time.time()
-            vecs = self.sparse_encoder.encode_documents(texts)
+            if self._encoded and list(self._encoded[0]) == doc_ids:
+                vecs = self._encoded[1]
+                logger.info("reusing %d cached encodings", len(vecs))
+            else:
+                vecs = self.sparse_encoder.encode_documents(texts)
+                self._encoded = (doc_ids, vecs)
             vocab = len(self.tokenizer) if self.tokenizer else 50000
             if self.index_backend == "tpu":
                 from splade_tpu.ops.impact_index import TpuImpactIndex
@@ -176,6 +206,8 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--no-sparse", action="store_true")
     p.add_argument("--index", default="exact", choices=["exact", "tpu"],
                    help="sparse index backend: exact CPU CSR or TPU-resident")
+    p.add_argument("--encodings", default=None,
+                   help="npz path: reuse if it exists, else save after encoding")
     p.add_argument("--output-dir", default=None)
     args = p.parse_args(argv)
     setup_logging()
@@ -206,7 +238,11 @@ def main(argv: Optional[list] = None) -> int:
         top_k=args.top_k, include_hybrid=not args.no_hybrid,
         output_dir=args.output_dir or f"outputs/benchmark/{args.dataset}",
         index_backend=args.index)
+    if args.encodings and Path(args.encodings).exists():
+        runner.load_encodings(args.encodings)
     summary = runner.run()
+    if args.encodings and not Path(args.encodings).exists():
+        runner.save_encodings(args.encodings)
     tests = runner.statistical_tests()
     runner.save(summary, tests)
     for name, m in sorted(summary.items(), key=lambda kv: -kv[1]["recall@1"]):

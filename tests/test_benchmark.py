@@ -304,3 +304,36 @@ def test_end_to_end_trained_tiny_model_beats_random(tmp_path):
                              output_dir=str(tmp_path / "bench"))
     summary = runner.run()
     assert summary["neural_sparse"]["recall@1"] >= 0.75
+
+
+def test_encoding_cache_roundtrip(tmp_path):
+    data = synthetic_benchmark()
+    runner = BenchmarkRunner(data, sparse_encoder=ToySparse(),
+                             include_hybrid=False, output_dir=str(tmp_path))
+    runner.setup()
+    enc_path = str(tmp_path / "enc.npz")
+    runner.save_encodings(enc_path)
+
+    class Bomb(ToySparse):
+        def encode_documents(self, texts):
+            raise AssertionError("should reuse cached encodings")
+
+    runner2 = BenchmarkRunner(data, sparse_encoder=Bomb(),
+                              include_hybrid=False, output_dir=str(tmp_path))
+    runner2.load_encodings(enc_path)
+    summary = runner2.run()
+    assert summary["neural_sparse"]["recall@1"] == 1.0
+
+
+def test_legacy_config_validate():
+    from splade_tpu.config.legacy import LegacyLossConfig, LegacyTrainConfig
+
+    assert LegacyTrainConfig().validate() == []
+    bad = LegacyTrainConfig(batch_size=0)
+    bad.loss.temperature = -1
+    bad.loss.lambda_infonce = 0
+    bad.loss.lambda_margin = 0
+    problems = bad.validate()
+    assert any("batch_size" in p for p in problems)
+    assert any("temperature" in p for p in problems)
+    assert any("ranking loss" in p for p in problems)
