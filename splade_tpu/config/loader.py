@@ -12,7 +12,6 @@ Semantics mirror the reference loader (reference: src/train/config/loader.py:22-
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from pathlib import Path

@@ -30,6 +30,8 @@ class SpladeEncoder(nn.Module):
     pool_impl: str = "pallas"
     pool_tile: int = 6250
     pallas_tile_v: int = 512
+    with_token_weights: bool = True
+    """False skips the per-position monitoring maxima (training fast path)."""
 
     def setup(self) -> None:
         self.mlm = ModernBertForMaskedLM(self.config, name="mlm")
@@ -50,7 +52,8 @@ class SpladeEncoder(nn.Module):
                 transformed, emb.astype(transformed.dtype), bias,
                 attention_mask, self.pallas_tile_v)
         return splade_pool_streamed(
-            transformed, emb, bias, attention_mask, tile=self.pool_tile)
+            transformed, emb, bias, attention_mask, tile=self.pool_tile,
+            with_token_weights=self.with_token_weights)
 
     def encode(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
         """Inference shortcut -> sparse_repr [B, V]."""

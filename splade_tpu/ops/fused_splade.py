@@ -28,7 +28,6 @@ Ties receive duplicate gradient (measure-zero for real activations).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ postings-list Pallas path only pays off at >10^6 docs/chip.
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -53,6 +53,7 @@ def splade_pool_streamed(
     bias: Optional[jnp.ndarray],
     attention_mask: jnp.ndarray,
     tile: int = 6250,
+    with_token_weights: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused vocab-projection + masked seq-max without [B, S, V].
 
@@ -65,7 +66,9 @@ def splade_pool_streamed(
 
     Returns:
         (sparse_repr [B, V] f32, token_weights [B, S] f32). token_weights is
-        monitoring-only and carries no gradient.
+        monitoring-only and carries no gradient; with_token_weights=False
+        skips its per-position max (a second full [B,S,V] reduction) and
+        returns zeros — the training loss never reads it.
     """
     B, S, H = transformed.shape
     V = emb.shape[0]
@@ -91,12 +94,16 @@ def splade_pool_streamed(
         ) + b.astype(jnp.float32)  # [B, S, tile]
         masked = jnp.where(maskb, logits, _NEG)
         pooled = masked.max(axis=1)  # [B, tile]
-        pos_max = jax.lax.stop_gradient(masked.max(axis=2))  # [B, S]
-        return jnp.maximum(carry, pos_max), pooled
+        if with_token_weights:
+            pos_max = jax.lax.stop_gradient(masked.max(axis=2))  # [B, S]
+            carry = jnp.maximum(carry, pos_max)
+        return carry, pooled
 
     init = jnp.full((B, S), _NEG, jnp.float32)
     pos_max, pooled_tiles = jax.lax.scan(body, init, (emb_tiles, bias_tiles))
     sparse_repr = jnp.log1p(jax.nn.relu(
         jnp.moveaxis(pooled_tiles, 0, 1).reshape(B, V)))
+    if not with_token_weights:
+        return sparse_repr, jnp.zeros((B, S), jnp.float32)
     token_weights = jnp.log1p(jax.nn.relu(pos_max)) * attention_mask.astype(jnp.float32)
     return sparse_repr, token_weights

@@ -8,7 +8,7 @@ percentile thresholds, PPMICalculator, compute_npmi.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 from scipy import sparse
