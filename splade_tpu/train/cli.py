@@ -117,8 +117,10 @@ def main(argv: Optional[list] = None) -> int:
         vocab_size=len(tokenizer), dtype=dtype, remat=cfg.model.remat,
         pad_token_id=tokenizer.pad_token_id,
     )
-    pool_impl = ("logits" if cfg.model.fused_splade_head == "xla" else "streamed")
-    model = SpladeEncoder(mconfig, pool_impl=pool_impl)
+    pool_impl = {"xla": "logits", "fused": "pallas"}.get(
+        cfg.model.fused_splade_head, "streamed")
+    model = SpladeEncoder(mconfig, pool_impl=pool_impl,
+                          with_token_weights=False)
     rng = jax.random.PRNGKey(cfg.training.seed)
     sample = jnp.zeros((1, cfg.data.query_max_length), jnp.int32)
     params = model.init(rng, sample, jnp.ones_like(sample))["params"]
