@@ -44,13 +44,19 @@ class TpuImpactIndex:
         dtype: str = "bfloat16",
         quantize_int8: bool = False,
         batch_pad: int = 8,
+        mesh=None,
     ):
+        """mesh: optional multi-device jax.sharding.Mesh — the corpus matrix
+        is sharded over the mesh's first axis (row/doc dimension), scaling
+        index capacity linearly with device count; queries are replicated
+        and GSPMD turns the top-k into a sharded reduce."""
         import jax.numpy as jnp
 
         self.vocab_size = vocab_size
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.quantize_int8 = quantize_int8
         self.batch_pad = batch_pad
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
         self.doc_ids: List[str] = []
         self.nnz = 0
         self._rows: List[np.ndarray] = []  # staged host rows (f32 dense)
@@ -81,16 +87,26 @@ class TpuImpactIndex:
         n = len(self._rows)
         if n == 0:
             raise ValueError("empty index")
-        self._n_pad = _round_up(n, 128)
+        row_align = 128
+        if self.mesh is not None:
+            row_align = 128 * int(self.mesh.devices.size)
+        self._n_pad = _round_up(n, row_align)
         host = np.zeros((self._n_pad, self.vocab_size), np.float32)
         host[:n] = np.stack(self._rows)
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0], None))
         if self.quantize_int8:
             scale = np.maximum(np.abs(host).max(), 1e-6) / 127.0
             q = np.clip(np.round(host / scale), -127, 127).astype(np.int8)
-            self._mat = jax.device_put(q)
+            self._mat = jax.device_put(q, sharding) if sharding else jax.device_put(q)
             self._scale = float(scale)
         else:
-            self._mat = jax.device_put(host.astype(self.dtype))
+            host = host.astype(self.dtype)
+            self._mat = (jax.device_put(host, sharding) if sharding
+                         else jax.device_put(host))
             self._scale = 1.0
         self._make_search()
         logger.info("impact index: %d docs (%d padded) x %d dims on device "

@@ -112,3 +112,43 @@ def test_two_phase_search_matches_full(corpus, rng):
         assert scores == sorted(scores, reverse=True)
         hits += len(set(d for d, _ in two) & set(d for d, _ in full))
     assert hits >= 20  # >=80% overlap with exact at these settings
+
+
+def test_mesh_sharded_index_matches_single(corpus, rng):
+    """Corpus matrix sharded over an 8-device mesh gives identical results
+    to the single-device index (GSPMD handles the sharded top-k)."""
+    from splade_tpu.parallel.mesh import make_mesh
+
+    V = 256
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    sharded = TpuImpactIndex(V, mesh=mesh)
+    plain = TpuImpactIndex(V)
+    ids = [f"d{i}" for i in range(len(corpus))]
+    sharded.add_batch(ids, corpus)
+    plain.add_batch(ids, corpus)
+    sharded.build()
+    plain.build()
+    assert sharded._n_pad % (128 * 8) == 0
+    for _ in range(3):
+        qi = rng.choice(V, size=8, replace=False).astype(np.int32)
+        qv = np.abs(rng.normal(size=8)).astype(np.float32)
+        a = sharded.search_vector(qi, qv, k=5)
+        b = plain.search_vector(qi, qv, k=5)
+        assert [d for d, _ in a] == [d for d, _ in b]
+        for (da, sa), (db, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, rel=2e-2, abs=1e-2)
+
+
+def test_benchmark_config_env(monkeypatch):
+    from splade_tpu.benchmark.config import BenchmarkConfig
+
+    monkeypatch.setenv("BENCH_SAMPLE_SIZE", "77")
+    monkeypatch.setenv("BENCH_INCLUDE_HYBRID", "false")
+    monkeypatch.setenv("BENCH_DATASET", "miracl-ko")
+    cfg = BenchmarkConfig.from_env(top_k=5)
+    assert cfg.sample_size == 77
+    assert cfg.include_hybrid is False
+    assert cfg.dataset == "miracl-ko"
+    assert cfg.top_k == 5
+    assert cfg.query_top_k == 64
