@@ -68,6 +68,11 @@ class V33DataConfig:
     tokenizer_path: str = ""
     """HF tokenizer dir/name. Empty = resolve via SPLADE_TOKENIZER_PATH env
     or the model name."""
+    length_buckets: List[float] = field(default_factory=list)
+    """Optional sequence-length buckets as fractions of max (e.g.
+    [0.25, 0.5, 1.0]): each batch pads to the smallest fitting bucket
+    instead of always max_length — the static-shape counterpart of the
+    reference's dynamic padding. Empty = always pad to max."""
     prefetch_depth: int = 2
     """Host->device prefetch depth for the input pipeline."""
 

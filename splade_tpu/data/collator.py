@@ -26,20 +26,48 @@ class TripletCollator:
         query_max_length: Optional[int] = None,
         doc_max_length: Optional[int] = None,
         num_hard_negatives: int = 1,
+        length_buckets: Optional[Sequence[int]] = None,
     ):
+        """length_buckets: optional ascending fractions-of-max sequence
+        buckets (e.g. (0.25, 0.5, 1.0)). Each batch is padded to the
+        smallest bucket that fits its longest text instead of always to
+        max_length — the static-shape counterpart of the reference's
+        dynamic padding (XLA compiles one step per bucket; short batches
+        run up to buckets[0]/1.0 x faster)."""
         self.tokenizer = tokenizer
         self.query_max_length = query_max_length or max_length
         self.doc_max_length = doc_max_length or max_length
         self.num_hard_negatives = max(int(num_hard_negatives), 1)
+        self.length_buckets = tuple(length_buckets) if length_buckets else None
+
+    def _bucket_lengths(self, max_length: int) -> List[int]:
+        if not self.length_buckets:
+            return [max_length]
+        out = sorted({max(8, int(round(max_length * f))) for f in self.length_buckets})
+        if out[-1] != max_length:
+            out.append(max_length)
+        return out
 
     def _tokenize(self, texts: List[str], max_length: int) -> Dict[str, np.ndarray]:
-        enc = self.tokenizer(
-            texts,
-            padding="max_length",
-            truncation=True,
-            max_length=max_length,
-            return_tensors="np",
-        )
+        buckets = self._bucket_lengths(max_length)
+        if len(buckets) == 1:
+            enc = self.tokenizer(
+                texts, padding="max_length", truncation=True,
+                max_length=max_length, return_tensors="np")
+        else:
+            # Tokenize unpadded once, pick the smallest fitting bucket.
+            enc = self.tokenizer(texts, padding=True, truncation=True,
+                                 max_length=max_length, return_tensors="np")
+            cur = enc["input_ids"].shape[1]
+            target = next(b for b in buckets if b >= cur)
+            if target > cur:
+                pad_id = self.tokenizer.pad_token_id or 0
+                ids = np.full((len(texts), target), pad_id,
+                              enc["input_ids"].dtype)
+                mask = np.zeros((len(texts), target), enc["attention_mask"].dtype)
+                ids[:, :cur] = enc["input_ids"]
+                mask[:, :cur] = enc["attention_mask"]
+                enc = {"input_ids": ids, "attention_mask": mask}
         return {
             "input_ids": enc["input_ids"].astype(np.int32),
             "attention_mask": enc["attention_mask"].astype(np.int32),

@@ -110,6 +110,7 @@ def main(argv: Optional[list] = None) -> int:
         query_max_length=cfg.data.query_max_length,
         doc_max_length=cfg.data.doc_max_length,
         num_hard_negatives=cfg.data.num_hard_negatives,
+        length_buckets=cfg.data.length_buckets or None,
     )
 
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32

@@ -45,11 +45,20 @@ TENSOR_KEYS = (
 
 
 def stack_microbatches(micro_batches: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
-    """[accum] list of collated batches -> dict of [accum, ...] arrays."""
+    """[accum] list of collated batches -> dict of [accum, ...] arrays.
+
+    Length-bucketed collation can give micro-batches different sequence
+    lengths; they are right-padded to the group max (mask 0, id 0 — padded
+    positions are masked out of every reduction)."""
     out = {}
     for k in TENSOR_KEYS:
-        if k in micro_batches[0]:
-            out[k] = np.stack([mb[k] for mb in micro_batches])
+        if k not in micro_batches[0]:
+            continue
+        arrs = [np.asarray(mb[k]) for mb in micro_batches]
+        if arrs[0].ndim == 2 and len({a.shape[1] for a in arrs}) > 1:
+            S = max(a.shape[1] for a in arrs)
+            arrs = [np.pad(a, ((0, 0), (0, S - a.shape[1]))) for a in arrs]
+        out[k] = np.stack(arrs)
     return out
 
 

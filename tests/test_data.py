@@ -13,13 +13,19 @@ from splade_tpu.data import (
 
 
 class FakeTokenizer:
-    """Deterministic char-code tokenizer with the HF call signature."""
+    """Deterministic char-code tokenizer with the HF call signature
+    (honors padding='max_length' vs True = pad-to-batch-max)."""
 
-    def __call__(self, texts, padding, truncation, max_length, return_tensors):
-        ids = np.zeros((len(texts), max_length), np.int64)
-        mask = np.zeros((len(texts), max_length), np.int64)
-        for i, t in enumerate(texts):
-            codes = [ord(c) % 97 + 3 for c in t][: max_length]
+    pad_token_id = 0
+
+    def __call__(self, texts, padding="max_length", truncation=True,
+                 max_length=16, return_tensors=None):
+        all_codes = [[ord(c) % 97 + 3 for c in t][:max_length] for t in texts]
+        width = (max_length if padding == "max_length"
+                 else max(max(map(len, all_codes), default=1), 1))
+        ids = np.zeros((len(texts), width), np.int64)
+        mask = np.zeros((len(texts), width), np.int64)
+        for i, codes in enumerate(all_codes):
             ids[i, : len(codes)] = codes
             mask[i, : len(codes)] = 1
         return {"input_ids": ids, "attention_mask": mask}
@@ -86,7 +92,7 @@ def test_collator_multi_neg_padding_semantics(jsonl_dir):
     assert out["negative_input_ids"].shape == (6, 16)
     # Row 1 has one neg 'n3a' -> repeated to fill k=3 (reference
     # dataloader.py:75-92 pads with the last negative).
-    n3a = tok(["n3a"], None, None, 16, None)["input_ids"][0]
+    n3a = tok(["n3a"], padding="max_length", max_length=16)["input_ids"][0]
     np.testing.assert_array_equal(out["negative_input_ids"][4], n3a)
     np.testing.assert_array_equal(out["negative_input_ids"][5], n3a)
     # Teacher neg scores repeat likewise.
@@ -145,3 +151,29 @@ def test_real_tokenizer_roundtrip_if_available():
     out = col([{"query": "한국어 검색", "positive": "스파스 검색 모델", "negative": "무관한 문서"}])
     assert out["query_input_ids"].shape == (1, 16)
     assert out["query_attention_mask"].sum() > 2
+
+
+def test_length_bucketing():
+    col = TripletCollator(FakeTokenizer(), query_max_length=32,
+                          doc_max_length=64, length_buckets=(0.25, 0.5, 1.0))
+    short = col([{"query": "ab", "positive": "cdef", "negative": "gh"}])
+    # longest doc text is 4 chars -> smallest doc bucket (64*0.25=16)
+    assert short["positive_input_ids"].shape[1] == 16
+    assert short["query_input_ids"].shape[1] == 8  # 32*0.25
+    long = col([{"query": "q" * 30, "positive": "p" * 60, "negative": "n"}])
+    assert long["positive_input_ids"].shape[1] == 64
+    # masks still align with content
+    assert short["positive_attention_mask"][0].sum() == 4
+
+
+def test_stack_microbatches_pads_mixed_buckets():
+    from splade_tpu.train.trainer import stack_microbatches
+
+    col = TripletCollator(FakeTokenizer(), query_max_length=32,
+                          doc_max_length=64, length_buckets=(0.25, 1.0))
+    mb1 = col([{"query": "ab", "positive": "cd", "negative": "ef"}])
+    mb2 = col([{"query": "q" * 30, "positive": "p" * 60, "negative": "n" * 60}])
+    macro = stack_microbatches([mb1, mb2])
+    assert macro["positive_input_ids"].shape == (2, 1, 64)
+    # padded region of the short micro-batch is fully masked
+    assert macro["positive_attention_mask"][0, 0, 16:].sum() == 0
