@@ -99,10 +99,19 @@ class TpuImpactIndex:
 
             sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0], None))
         if self.quantize_int8:
-            scale = np.maximum(np.abs(host).max(), 1e-6) / 127.0
+            # Per-row scales: robust to heterogeneous doc magnitudes (a
+            # single global scale wastes the int8 range on short docs).
+            row_max = np.maximum(np.abs(host).max(axis=1, keepdims=True), 1e-6)
+            scale = (row_max / 127.0).astype(np.float32)
             q = np.clip(np.round(host / scale), -127, 127).astype(np.int8)
             self._mat = jax.device_put(q, sharding) if sharding else jax.device_put(q)
-            self._scale = float(scale)
+            row_sh = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                row_sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+            self._scale = (jax.device_put(scale[:, 0], row_sh) if row_sh
+                           else jax.device_put(scale[:, 0]))  # [N_pad]
         else:
             host = host.astype(self.dtype)
             self._mat = (jax.device_put(host, sharding) if sharding
@@ -126,13 +135,13 @@ class TpuImpactIndex:
         # closed-over device array becomes an HLO constant, shipping the
         # whole index inside the compile request (observed: HTTP 413 on the
         # remote-compile backend at 1 GB).
-        def search(mat: jnp.ndarray, queries: jnp.ndarray, k: int):
+        def search(mat: jnp.ndarray, scale, queries: jnp.ndarray, k: int):
             if is_int8:
                 scores = jax.lax.dot_general(
                     queries.astype(jnp.bfloat16),
                     mat.astype(jnp.bfloat16).T,
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32) * scale[None, :]
             else:
                 scores = jax.lax.dot_general(
                     queries.astype(mat.dtype), mat.T, (((1,), (0,)), ((), ())),
@@ -142,8 +151,8 @@ class TpuImpactIndex:
             scores = jnp.where(idx[None, :] < n_valid, scores, -jnp.inf)
             return jax.lax.top_k(scores, k)
 
-        jitted = jax.jit(search, static_argnums=2)
-        self._search_jit = lambda q, k: jitted(self._mat, q, k)
+        jitted = jax.jit(search, static_argnums=3)
+        self._search_jit = lambda q, k: jitted(self._mat, self._scale, q, k)
 
     # ---------------------------------------------------------- search
     def search_batch_dense(
