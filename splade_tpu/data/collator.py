@@ -122,8 +122,13 @@ class TripletCollator:
         negatives = self._gather_negatives(batch)
         out: Dict[str, Any] = {}
         q = self._tokenize(queries, self.query_max_length)
-        p = self._tokenize(positives, self.doc_max_length)
-        n = self._tokenize(negatives, self.doc_max_length)
+        # Positives and negatives are tokenized TOGETHER so length bucketing
+        # gives them one shape (the trainer concatenates them into a single
+        # doc-tower forward).
+        docs = self._tokenize(positives + negatives, self.doc_max_length)
+        B = len(batch)
+        p = {k: v[:B] for k, v in docs.items()}
+        n = {k: v[B:] for k, v in docs.items()}
         out["query_input_ids"], out["query_attention_mask"] = q["input_ids"], q["attention_mask"]
         out["positive_input_ids"], out["positive_attention_mask"] = p["input_ids"], p["attention_mask"]
         out["negative_input_ids"], out["negative_attention_mask"] = n["input_ids"], n["attention_mask"]

@@ -251,3 +251,18 @@ def test_trainer_end_to_end_smoke(tmp_path):
     assert ckpt is not None
     rec = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
     assert rec[-1]["loss"] < rec[0]["loss"] * 1.5  # sane trajectory
+
+
+def test_same_seed_same_first_step(setup):
+    """Determinism: identical params + batch -> bitwise-identical loss and
+    update (the step is RNG-free; reference relied on per-rank seeds)."""
+    model, cfg, mesh, _, step_fn = setup
+    batch = synth_batch(np.random.default_rng(9), accum=2, B=8)
+    s1 = setup.state
+    p1, o1, _, m1 = step_fn(s1.params, s1.opt_state, s1.step, batch)
+    s2 = setup.state
+    p2, o2, _, m2 = step_fn(s2.params, s2.opt_state, s2.step, batch)
+    assert float(m1["loss"]) == float(m2["loss"])
+    f1, _ = ravel_pytree(p1)
+    f2, _ = ravel_pytree(p2)
+    assert np.array_equal(np.asarray(f1), np.asarray(f2))
