@@ -96,3 +96,29 @@ def test_cpp_tool_standard_mode_and_multifile(tool, tokenizer, tmp_path):
     assert meta["num_docs"] == 4
     # a never-seen token gets ln(N/1)
     assert idf[0] == pytest.approx(math.log(4.0 / 1.0), rel=1e-6) or meta["df_nonzero"] > 0
+
+
+@pytest.mark.parametrize("variant", ["tsan", "asan"])
+def test_sanitizer_builds_run_clean(variant, tokenizer, tmp_path):
+    """Thread/address-sanitized builds process a shard with zero reports
+    (the per-thread-accumulate + mutex-merge design is race-free)."""
+    r = subprocess.run(["make", "-C", str(TOOL_DIR), f"idf_compute_{variant}"],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"{variant} build unavailable: {r.stderr[-200:]}")
+    rows = [{"query": f"질문 {i}", "positive": f"문서 본문 {i} 내용"} for i in range(50)]
+    shard = tmp_path / "s.jsonl"
+    shard.write_text("\n".join(json.dumps(x, ensure_ascii=False) for x in rows),
+                     encoding="utf-8")
+    from splade_tpu.utils.tokenizer import resolve_tokenizer_path
+
+    vocab = Path(resolve_tokenizer_path()) / "vocab.txt"
+    out = tmp_path / "idf"
+    r = subprocess.run(
+        [str(TOOL_DIR / f"idf_compute_{variant}"), "--vocab", str(vocab),
+         "--output", str(out), "--threads", "4", str(shard)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "WARNING: ThreadSanitizer" not in r.stderr
+    assert "ERROR: AddressSanitizer" not in r.stderr
+    assert (tmp_path / "idf.bin").exists()
