@@ -7,9 +7,12 @@ import numpy as np
 from splade_tpu.utils.idf import compute_idf
 
 
+VOCAB = {"a": 1, "b": 2, "c": 3, "d": 4}  # fixed IDs: hash() is per-process random
+
+
 class WordTok:
     def __call__(self, text, **kw):
-        return {"input_ids": [abs(hash(w)) % 100 for w in text.split()]}
+        return {"input_ids": [VOCAB[w] for w in text.split()]}
 
 
 def check(name, got, want, tol=1e-9):
@@ -23,9 +26,7 @@ if __name__ == "__main__":
     N = 4
     idf_bm25, _ = compute_idf(texts, WordTok(), 100, "bm25")
     idf_std, _ = compute_idf(texts, WordTok(), 100, "standard")
-    ia = abs(hash("a")) % 100
-    ib = abs(hash("b")) % 100
-    idd = abs(hash("d")) % 100
+    ia, ib, idd = VOCAB["a"], VOCAB["b"], VOCAB["d"]
     # BM25 (Lucene smoothing): ln(1 + (N-df+0.5)/(df+0.5))
     check("bm25 df=3", idf_bm25[ia], math.log(1 + (4 - 3 + 0.5) / 3.5), 1e-6)
     check("bm25 df=2", idf_bm25[ib], math.log(1 + (4 - 2 + 0.5) / 2.5), 1e-6)
@@ -35,7 +36,6 @@ if __name__ == "__main__":
     check("std df=1", idf_std[idd], math.log(4 / 2), 1e-6)
     # monotonicity: rarer terms score higher
     assert idf_bm25[idd] > idf_bm25[ib] > idf_bm25[ia]
-    # unseen token: bm25 ln(1+(N+0.5)/0.5), std ln(N)
-    check("bm25 df=0", idf_bm25[(ia + 1) % 100] if (ia+1)%100 not in (ib, idd) else idf_bm25[(ia + 2) % 100],
-          math.log(1 + 4.5 / 0.5), 1e-6)
+    # unseen token (id 50 is outside VOCAB): bm25 ln(1+(N+0.5)/0.5)
+    check("bm25 df=0", idf_bm25[50], math.log(1 + 4.5 / 0.5), 1e-6)
     print("all IDF math checks passed")
