@@ -7,7 +7,7 @@ CHECKPOINT ?= $(OUTPUT)/final_model
 
 .PHONY: help test test-fast train train-resume train-debug \
         benchmark-ko-strategyqa benchmark-miracl-ko benchmark-mrtydi-ko \
-        benchmark-triplet-val bench bench-qps export-hf idf-tool \
+        benchmark-triplet-val bench bench-qps export-hf idf-tool osi-log-sender \
         preprocess profile clean
 
 help:
@@ -72,9 +72,13 @@ export-hf:
 idf-tool:
 	$(MAKE) -C tools/idf_compute
 
+osi-log-sender:
+	$(MAKE) -C tools/osi_log_sender
+
 profile:
 	$(PYTHON) scripts/profile_train_step.py
 
 clean:
 	rm -rf outputs/ .pytest_cache
 	$(MAKE) -C tools/idf_compute clean
+	$(MAKE) -C tools/osi_log_sender clean
