@@ -230,6 +230,13 @@ class TpuImpactIndex:
         rescored = [(d, s) for d, s in full if d in cand]
         return rescored[:k]
 
+    def device_arrays(self):
+        """(mat [N_pad, V] device array, scale [N_pad] or 1.0, n_valid) — for
+        callers fusing their own compute with the index (serving engine)."""
+        if self._mat is None:
+            self.build()
+        return self._mat, self._scale, len(self.doc_ids)
+
     def __len__(self) -> int:
         return len(self.doc_ids)
 

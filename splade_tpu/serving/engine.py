@@ -1,0 +1,192 @@
+"""Fused encode→search engine.
+
+The reference's query path is: GPU encode → host nonzero scan → JSON
+rank_feature clauses → OpenSearch HTTPS round-trip (reference:
+benchmark/searchers.py:130-186). Here the whole path is ONE jitted device
+call: ModernBERT encode → banned-token zeroing → query top-k truncation →
+impact-matrix matmul → top-k docs. Only token ids go up and [B, k]
+(doc-index, score) pairs come back, so per-request latency is one dispatch.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bucket_batch(n: int, pad: int) -> int:
+    """Power-of-two bucketing above ``pad``: each distinct padded shape costs
+    a fused-jit compile (~12 s on the remote backend), so the shape set must
+    stay small — {pad, 2·pad, 4·pad, ...}."""
+    b = pad
+    while b < n:
+        b *= 2
+    return b
+
+
+class ServingEngine:
+    """Owns device-pinned params + a built TpuImpactIndex.
+
+    query_top_k mirrors the reference's top-64 rank_feature clause cap
+    (reference: searchers.py:161-170); measured lossless at >=32 on the
+    10K-doc benchmarks (docs/INDEX_EXPERIMENTS.json).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        tokenizer,
+        index,
+        query_max_length: int = 64,
+        query_top_k: int = 64,
+        batch_pad: int = 8,
+        max_k: int = 100,
+        k_tiers: Sequence[int] = (10, 100),
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from splade_tpu.benchmark.encoders import SparseEncoderV33
+
+        self.tokenizer = tokenizer
+        self.index = index
+        self.query_max_length = query_max_length
+        self.batch_pad = batch_pad
+        self.max_k = max_k
+        self.k_tiers = tuple(sorted(k_tiers))
+        self.params = jax.device_put(params)
+        # Reused for /encode and for indexing new documents.
+        self.encoder = SparseEncoderV33(
+            model, self.params, tokenizer, query_max_length=query_max_length,
+            query_top_k=query_top_k)
+
+        banned = jnp.asarray(self.encoder._banned) if (
+            self.encoder._banned is not None) else None
+        is_int8 = getattr(index, "quantize_int8", False)
+        qtk = query_top_k
+
+        def fused_search(p, mat, scale, ids, mask, n_valid, k):
+            repr_, _ = model.apply({"params": p}, ids, mask)   # [B, V]
+            repr_ = repr_.astype(jnp.float32)
+            if banned is not None:
+                repr_ = jnp.where(banned[None, :], 0.0, repr_)
+            if qtk:
+                # keep the qtk strongest activations per query (static shape:
+                # threshold-zeroing instead of gather)
+                thr = jax.lax.top_k(repr_, qtk)[0][:, -1:]
+                repr_ = jnp.where(repr_ >= jnp.maximum(thr, 1e-9), repr_, 0.0)
+            if is_int8:
+                scores = jax.lax.dot_general(
+                    repr_.astype(jnp.bfloat16), mat.astype(jnp.bfloat16).T,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale[None, :]
+            else:
+                scores = jax.lax.dot_general(
+                    repr_.astype(mat.dtype), mat.T, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            idx = jnp.arange(scores.shape[1])
+            scores = jnp.where(idx[None, :] < n_valid, scores, -jnp.inf)
+            return jax.lax.top_k(scores, k)
+
+        self._fused_jit = jax.jit(fused_search, static_argnums=(6,))
+
+    # ------------------------------------------------------------- search
+    def _quantize_k(self, k: int) -> int:
+        """top_k's k is a static jit arg: each distinct value compiles a new
+        executable, so round up to a fixed tier and slice host-side."""
+        k = min(max(k, 1), self.max_k, len(self.index))
+        for tier in self.k_tiers:
+            if k <= tier:
+                return min(tier, len(self.index))
+        return k
+
+    def search_batch(
+        self, queries: Sequence[str], k: int = 10
+    ) -> List[List[Tuple[str, float]]]:
+        """Encode + retrieve for a batch of query strings in one dispatch."""
+        import jax.numpy as jnp
+
+        k = min(max(k, 1), self.max_k, len(self.index))
+        k_eff = self._quantize_k(k)
+        mat, scale, n_valid = self.index.device_arrays()
+        B = len(queries)
+        padded = list(queries) + [""] * (
+            _bucket_batch(max(B, 1), self.batch_pad) - B)
+        enc = self.tokenizer(
+            padded, padding="max_length", truncation=True,
+            max_length=self.query_max_length, return_tensors="np")
+        vals, idxs = self._fused_jit(
+            self.params, mat, scale,
+            jnp.asarray(enc["input_ids"].astype(np.int32)),
+            jnp.asarray(enc["attention_mask"].astype(np.int32)),
+            n_valid, k_eff)
+        vals = np.asarray(vals)[:B, :k]
+        idxs = np.asarray(idxs)[:B, :k]
+        doc_ids = self.index.doc_ids
+        return [[(doc_ids[int(i)], float(v))
+                 for v, i in zip(vals[b], idxs[b]) if np.isfinite(v)]
+                for b in range(B)]
+
+    def warmup(self, max_batch_size: int = 32) -> int:
+        """Compile the fused executable for every (batch-bucket, k-tier)
+        shape the server can hit, so no request pays a compile. Returns the
+        number of shapes warmed."""
+        shapes = 0
+        b = self.batch_pad
+        buckets = []
+        while b < max_batch_size:
+            buckets.append(b)
+            b *= 2
+        buckets.append(b)
+        for bucket in buckets:
+            for tier in self.k_tiers:
+                self.search_batch([""] * bucket, k=min(tier, len(self.index)))
+                shapes += 1
+        logger.info("warmed %d fused-search shapes (buckets %s x k tiers %s)",
+                    shapes, buckets, list(self.k_tiers))
+        return shapes
+
+    def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
+        return self.search_batch([query], k)[0]
+
+    # ------------------------------------------------------------- encode
+    def encode(self, texts: Sequence[str], queries: bool = False):
+        """Sparse vectors [(indices, values), ...] for external indexing."""
+        if queries:
+            return self.encoder.encode_queries(list(texts))
+        return self.encoder.encode_documents(list(texts))
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.index)
+
+
+def build_engine_from_docs(
+    model, params, tokenizer,
+    docs: Sequence[Tuple[str, str]],
+    int8: bool = True,
+    doc_top_k: int = 0,
+    mesh=None,
+    **engine_kw,
+) -> ServingEngine:
+    """Encode (doc_id, text) pairs on device and build a served index."""
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.impact_index import TpuImpactIndex
+
+    enc = SparseEncoderV33(model, params, tokenizer, doc_top_k=doc_top_k)
+    index = TpuImpactIndex(len(tokenizer),
+                           quantize_int8=int8, mesh=mesh)
+    ids = [d for d, _ in docs]
+    vecs = enc.encode_documents([t for _, t in docs])
+    index.add_batch(ids, vecs)
+    index.build()
+    return ServingEngine(model, params, tokenizer, index, **engine_kw)

@@ -1,0 +1,202 @@
+"""HTTP search server (stdlib-only).
+
+Endpoints (JSON in/out):
+    GET  /healthz            -> {"status": "ok", "docs": N}
+    GET  /stats              -> batcher + engine statistics
+    POST /search             -> {"query": str | "queries": [str], "k": int}
+                                 => {"results": [[{"doc_id", "score"}, ...]]}
+    POST /encode             -> {"texts": [str], "queries": bool}
+                                 => {"vectors": [{token_id: weight}]}
+
+Replaces the reference's OpenSearch REST surface for neural-sparse queries
+(reference: benchmark/searchers.py:130-186 builds rank_feature bool queries
+against a cluster; scripts/demo_neural_sparse_search.py drives it). Requests
+are coalesced by DynamicBatcher, so concurrent clients share device
+dispatches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, List, Optional, Tuple
+
+from splade_tpu.serving.batcher import DynamicBatcher
+from splade_tpu.serving.engine import ServingEngine
+
+logger = logging.getLogger(__name__)
+
+
+def _search_run_batch(engine: ServingEngine):
+    """Batch fn over payloads [(query, k)] — one dispatch at max(k)."""
+
+    def run(payloads: List[Tuple[str, int]]):
+        kmax = max(k for _, k in payloads)
+        ranked = engine.search_batch([q for q, _ in payloads], k=kmax)
+        return [r[:k] for r, (_, k) in zip(ranked, payloads)]
+
+    return run
+
+
+class SearchService:
+    """Engine + batcher wiring, independent of the HTTP layer."""
+
+    def __init__(self, engine: ServingEngine, max_batch_size: int = 32,
+                 max_wait_ms: float = 5.0, warmup: bool = False):
+        self.engine = engine
+        if warmup:
+            engine.warmup(max_batch_size)
+        self.batcher = DynamicBatcher(
+            _search_run_batch(engine), max_batch_size=max_batch_size,
+            max_wait_ms=max_wait_ms, name="search-batcher")
+        self._encode_lock = threading.Lock()
+
+    def search(self, queries: List[str], k: int) -> List[List[dict]]:
+        futs = [self.batcher.submit((q, k)) for q in queries]
+        return [[{"doc_id": d, "score": s} for d, s in f.result(timeout=120)]
+                for f in futs]
+
+    def encode(self, texts: List[str], queries: bool) -> List[dict]:
+        with self._encode_lock:  # one device encode stream
+            vecs = self.engine.encode(texts, queries=queries)
+        return [{int(i): float(v) for i, v in zip(idx, val)}
+                for idx, val in vecs]
+
+    def stats(self) -> dict:
+        return {"docs": self.engine.num_docs, **self.batcher.stats()}
+
+    def close(self) -> None:
+        self.batcher.close()
+
+
+def make_handler(service: SearchService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            logger.debug("http: " + fmt, *args)
+
+        def _reply(self, code: int, payload: Any) -> None:
+            body = json.dumps(payload, ensure_ascii=False).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok", "docs": service.engine.num_docs})
+            elif self.path == "/stats":
+                self._reply(200, service.stats())
+            else:
+                self._reply(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._reply(400, {"error": f"bad JSON: {e}"})
+            try:
+                if self.path == "/search":
+                    queries = req.get("queries")
+                    if queries is None:
+                        q = req.get("query")
+                        if not isinstance(q, str) or not q:
+                            return self._reply(
+                                400, {"error": "need 'query' or 'queries'"})
+                        queries = [q]
+                    if not (isinstance(queries, list)
+                            and all(isinstance(x, str) for x in queries)):
+                        return self._reply(400, {"error": "'queries' must be [str]"})
+                    k = int(req.get("k", 10))
+                    self._reply(200, {"results": service.search(queries, k)})
+                elif self.path == "/encode":
+                    texts = req.get("texts")
+                    if not (isinstance(texts, list)
+                            and all(isinstance(x, str) for x in texts)):
+                        return self._reply(400, {"error": "'texts' must be [str]"})
+                    self._reply(200, {"vectors": service.encode(
+                        texts, bool(req.get("queries", False)))})
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+            except Exception as e:  # noqa: BLE001 — report, keep serving
+                logger.exception("request failed")
+                self._reply(500, {"error": str(e)})
+
+    return Handler
+
+
+class _Server(ThreadingHTTPServer):
+    # stdlib default listen backlog is 5: bursts of concurrent connects get
+    # ECONNRESET. 128 covers any sane client fan-in.
+    request_queue_size = 128
+    daemon_threads = True
+
+
+def create_server(service: SearchService, host: str = "127.0.0.1",
+                  port: int = 0) -> ThreadingHTTPServer:
+    return _Server((host, port), make_handler(service))
+
+
+# ----------------------------------------------------------------- CLI
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser("splade-tpu serving daemon")
+    p.add_argument("--checkpoint", required=True,
+                   help="training checkpoint dir or HF export dir")
+    p.add_argument("--docs", required=True,
+                   help="JSONL corpus: {\"id\": ..., \"text\"|\"contents\": ...}")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--int8", action="store_true", default=True)
+    p.add_argument("--no-int8", dest="int8", action="store_false")
+    p.add_argument("--query-top-k", type=int, default=64)
+    p.add_argument("--max-batch-size", type=int, default=32)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   default=True, help="skip pre-compiling serving shapes")
+    args = p.parse_args(argv)
+
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.serving.engine import build_engine_from_docs
+    from splade_tpu.utils.logging import setup_logging
+    from splade_tpu.utils.tokenizer import create_tokenizer
+
+    setup_logging(None)
+    tokenizer = create_tokenizer(args.tokenizer or args.checkpoint)
+    enc = SparseEncoderV33.from_checkpoint(args.checkpoint, tokenizer)
+
+    docs = []
+    with open(args.docs, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            docs.append((str(d.get("id", len(docs))),
+                         d.get("text") or d.get("contents") or ""))
+    logger.info("indexing %d docs ...", len(docs))
+    engine = build_engine_from_docs(
+        enc.model, enc.params, tokenizer, docs, int8=args.int8,
+        query_top_k=args.query_top_k)
+    if args.warmup:
+        logger.info("warming serving shapes (one compile per shape) ...")
+    service = SearchService(engine, max_batch_size=args.max_batch_size,
+                            max_wait_ms=args.max_wait_ms, warmup=args.warmup)
+    httpd = create_server(service, args.host, args.port)
+    logger.info("serving %d docs on http://%s:%d", engine.num_docs,
+                *httpd.server_address[:2])
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+    finally:
+        service.close()
+        httpd.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,242 @@
+"""Serving tier tests: fused engine parity, dynamic batcher semantics under
+concurrency, and the HTTP server end-to-end (tiny model, CPU)."""
+
+import http.client
+import json
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splade_tpu.models.modernbert import ModernBertConfig
+from splade_tpu.models.splade import SpladeEncoder
+from splade_tpu.ops.impact_index import TpuImpactIndex
+from splade_tpu.serving import DynamicBatcher, ServingEngine
+from splade_tpu.serving.server import SearchService, create_server
+
+VOCAB = 128
+
+
+class ServingFakeTokenizer:
+    pad_token_id = 0
+    all_special_ids = [0, 1]
+
+    def __len__(self):
+        return VOCAB
+
+    def get_vocab(self):
+        return {"[PAD]": 0, "[CLS]": 1}
+
+    def __call__(self, texts, padding="max_length", truncation=True,
+                 max_length=16, return_tensors=None):
+        ids = np.zeros((len(texts), max_length), np.int64)
+        mask = np.zeros((len(texts), max_length), np.int64)
+        for i, t in enumerate(texts):
+            codes = [ord(c) % (VOCAB - 4) + 3 for c in t if c != " "][:max_length]
+            ids[i, :len(codes)] = codes
+            mask[i, :len(codes)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    from splade_tpu.serving.engine import build_engine_from_docs
+
+    docs = [(f"doc{i}", f"문서 {i} 텍스트 {'가나다라마바사'[i % 7]}")
+            for i in range(40)]
+    return build_engine_from_docs(model, params, tok, docs, int8=False,
+                                  query_top_k=16, query_max_length=16)
+
+
+# ---------------------------------------------------------------- engine
+def test_fused_search_matches_two_step(engine):
+    """One-dispatch fused path == encode_queries + index.search_vector."""
+    queries = ["가나다 검색", "문서 7", "마바사"]
+    fused = engine.search_batch(queries, k=5)
+    for q, got in zip(queries, fused):
+        idx, val = engine.encoder.encode_for_query(q)
+        want = engine.index.search_vector(idx, val, k=5)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in want],
+                                   rtol=2e-2)
+
+
+def test_search_k_clamped(engine):
+    assert len(engine.search("문서", k=10_000)) == engine.num_docs
+    assert len(engine.search("문서", k=0)) == 1
+
+
+def test_engine_encode_roundtrip(engine):
+    vecs = engine.encode(["가나다 문서"], queries=True)
+    idx, val = vecs[0]
+    assert len(idx) == len(val) > 0
+    assert (val > 0).all()
+    # banned special tokens never appear
+    assert not set(idx.tolist()) & {0, 1}
+
+
+def test_engine_warmup_covers_serving_shapes(engine):
+    shapes = engine.warmup(max_batch_size=32)
+    assert shapes == 3 * len(engine.k_tiers)  # buckets 8,16,32 x k tiers
+
+
+def test_quantize_k_tiers(engine):
+    assert engine._quantize_k(1) == 10
+    assert engine._quantize_k(10) == 10
+    assert engine._quantize_k(11) == min(100, engine.num_docs)
+    assert len(engine.search("문서", k=7)) == 7  # sliced back to requested k
+
+
+# ---------------------------------------------------------------- batcher
+def test_batcher_coalesces_concurrent_requests():
+    calls = []
+
+    def run_batch(payloads):
+        calls.append(len(payloads))
+        time.sleep(0.02)  # simulate device dispatch
+        return [p * 2 for p in payloads]
+
+    b = DynamicBatcher(run_batch, max_batch_size=16, max_wait_ms=20)
+    try:
+        futs = [b.submit(i) for i in range(32)]
+        results = [f.result(timeout=10) for f in futs]
+        assert results == [i * 2 for i in range(32)]
+        # 32 requests must not take 32 dispatches
+        assert len(calls) <= 6, calls
+        assert sum(calls) == 32
+        s = b.stats()
+        assert s["items"] == 32 and s["mean_batch_size"] > 4
+        assert s["latency_p50_ms"] > 0
+    finally:
+        b.close()
+
+
+def test_batcher_error_fails_batch_then_recovers():
+    state = {"fail": True}
+
+    def run_batch(payloads):
+        if state["fail"]:
+            raise ValueError("boom")
+        return payloads
+
+    b = DynamicBatcher(run_batch, max_batch_size=4, max_wait_ms=1)
+    try:
+        with pytest.raises(ValueError):
+            b.submit("x").result(timeout=5)
+        state["fail"] = False
+        assert b.submit("y").result(timeout=5) == "y"
+    finally:
+        b.close()
+
+
+def test_batcher_respects_max_batch_size():
+    sizes = []
+
+    def run_batch(payloads):
+        sizes.append(len(payloads))
+        time.sleep(0.05)
+        return payloads
+
+    b = DynamicBatcher(run_batch, max_batch_size=4, max_wait_ms=200)
+    try:
+        futs = [b.submit(i) for i in range(10)]
+        [f.result(timeout=10) for f in futs]
+        assert max(sizes) <= 4
+    finally:
+        b.close()
+
+
+def test_batcher_close_rejects_new_work():
+    b = DynamicBatcher(lambda ps: ps)
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(1)
+
+
+# ---------------------------------------------------------------- server
+@pytest.fixture(scope="module")
+def http_server(engine):
+    service = SearchService(engine, max_batch_size=8, max_wait_ms=2)
+    srv = create_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+    service.close()
+
+
+def _req(addr, method, path, payload=None):
+    conn = http.client.HTTPConnection(*addr, timeout=30)
+    body = json.dumps(payload).encode() if payload is not None else None
+    conn.request(method, path, body=body,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    conn.close()
+    return resp.status, out
+
+
+def test_server_healthz_and_stats(http_server):
+    status, out = _req(http_server, "GET", "/healthz")
+    assert status == 200 and out["status"] == "ok" and out["docs"] == 40
+    status, out = _req(http_server, "GET", "/stats")
+    assert status == 200 and out["docs"] == 40
+
+
+def test_server_search_single_and_batch(http_server, engine):
+    status, out = _req(http_server, "POST", "/search",
+                       {"query": "가나다 검색", "k": 3})
+    assert status == 200
+    (hits,) = out["results"]
+    assert len(hits) == 3 and all({"doc_id", "score"} == set(h) for h in hits)
+    want = engine.search("가나다 검색", k=3)
+    assert [h["doc_id"] for h in hits] == [d for d, _ in want]
+
+    status, out = _req(http_server, "POST", "/search",
+                       {"queries": ["문서 1", "문서 2"], "k": 2})
+    assert status == 200 and len(out["results"]) == 2
+
+
+def test_server_concurrent_clients_coalesce(http_server):
+    results, errors = [], []
+
+    def client(i):
+        try:
+            status, out = _req(http_server, "POST", "/search",
+                               {"query": f"문서 {i}", "k": 2})
+            assert status == 200
+            results.append(out["results"][0])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(24)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors and len(results) == 24
+    status, out = _req(http_server, "GET", "/stats")
+    assert out["mean_batch_size"] > 1.2, out  # coalescing actually happened
+
+
+def test_server_encode_endpoint(http_server):
+    status, out = _req(http_server, "POST", "/encode",
+                       {"texts": ["가나다"], "queries": True})
+    assert status == 200
+    vec = out["vectors"][0]
+    assert vec and all(float(v) > 0 for v in vec.values())
+
+
+def test_server_input_validation(http_server):
+    assert _req(http_server, "POST", "/search", {})[0] == 400
+    assert _req(http_server, "POST", "/search", {"queries": [1, 2]})[0] == 400
+    assert _req(http_server, "POST", "/encode", {"texts": "no"})[0] == 400
+    assert _req(http_server, "GET", "/nope")[0] == 404
