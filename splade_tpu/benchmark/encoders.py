@@ -202,3 +202,53 @@ class DenseEncoderBase:
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:  # [N, dim] normalized
         raise NotImplementedError
+
+
+class PrecomputedDenseEncoder(DenseEncoderBase):
+    """Embeddings from an external model, precomputed to disk.
+
+    Replaces the reference's Bedrock Titan path
+    (reference: scripts/run_comprehensive_benchmark.py — a 4th commercial
+    embedding model joined into cross-model hybrids) on a zero-egress host:
+    compute embeddings with any external service offline, save them with
+    :meth:`save_embeddings`, and plug the file into the benchmark runner via
+    ``--external-dense``. Lookup is md5(text) -> L2-normalized vector.
+    """
+
+    def __init__(self, path: str):
+        import hashlib
+
+        z = np.load(path, allow_pickle=False)
+        self._hash = hashlib.md5
+        hashes = [h.decode() if isinstance(h, bytes) else str(h)
+                  for h in z["hashes"]]
+        emb = np.asarray(z["embeddings"], np.float32)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+        self._table = dict(zip(hashes, emb))
+        self.dim = int(emb.shape[1])
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), np.float32)
+        missing = 0
+        for i, t in enumerate(texts):
+            v = self._table.get(self._hash(t.encode("utf-8")).hexdigest())
+            if v is None:
+                missing += 1
+            else:
+                out[i] = v
+        if missing:
+            raise KeyError(
+                f"{missing}/{len(texts)} texts missing from the precomputed "
+                "embedding table — re-run the offline embedding job over the "
+                "full corpus+queries")
+        return out
+
+    @staticmethod
+    def save_embeddings(path: str, texts: Sequence[str],
+                        embeddings: np.ndarray) -> None:
+        import hashlib
+
+        hashes = np.asarray(
+            [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts])
+        np.savez_compressed(path, hashes=hashes,
+                            embeddings=np.asarray(embeddings, np.float32))

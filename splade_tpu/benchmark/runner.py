@@ -44,10 +44,12 @@ class BenchmarkRunner:
         include_hybrid: bool = True,
         output_dir: str = "outputs/benchmark",
         index_backend: str = "exact",
+        external_dense_encoder=None,
     ):
         self.data = data
         self.sparse_encoder = sparse_encoder
         self.dense_encoder = dense_encoder
+        self.external_dense_encoder = external_dense_encoder
         self.tokenizer = tokenizer
         self.top_k = top_k
         self.include_hybrid = include_hybrid
@@ -134,6 +136,20 @@ class BenchmarkRunner:
             bm25_index=bm25,
             sparse_encoder=self.sparse_encoder, sparse_index=sparse_index,
             dense_encoder=self.dense_encoder, dense_index=dense_index)
+        if self.external_dense_encoder is not None:
+            # 4th model (reference: run_comprehensive_benchmark.py's Bedrock
+            # Titan) — embeddings precomputed offline, exact index here.
+            from splade_tpu.benchmark.searchers import DenseSearcher
+
+            t0 = time.time()
+            mat = self.external_dense_encoder.encode(texts)
+            ext_index = ExactDenseIndex(mat.shape[1])
+            for did, vec in zip(doc_ids, mat):
+                ext_index.add(did, vec)
+            self.searchers["external_dense"] = DenseSearcher(
+                self.external_dense_encoder, ext_index, name="external_dense")
+            logger.info("external-dense indexed %d docs in %.1fs",
+                        len(doc_ids), time.time() - t0)
         if self.include_hybrid:
             self.searchers.update(create_hybrid_searchers(self.searchers))
 
@@ -208,6 +224,10 @@ def main(argv: Optional[list] = None) -> int:
                    help="sparse index backend: exact CPU CSR or TPU-resident")
     p.add_argument("--encodings", default=None,
                    help="npz path: reuse if it exists, else save after encoding")
+    p.add_argument("--external-dense", default=None,
+                   help="npz of precomputed external-model embeddings "
+                        "(hashes+embeddings) — joins as a 4th model with "
+                        "cross-model hybrids (reference comprehensive bench)")
     p.add_argument("--output-dir", default=None)
     args = p.parse_args(argv)
     setup_logging()
@@ -233,11 +253,17 @@ def main(argv: Optional[list] = None) -> int:
         else:
             sparse_encoder = SparseEncoderV33.from_hf_dir(str(ckpt), tokenizer)
 
+    external = None
+    if args.external_dense:
+        from splade_tpu.benchmark.encoders import PrecomputedDenseEncoder
+
+        external = PrecomputedDenseEncoder(args.external_dense)
+
     runner = BenchmarkRunner(
         data, sparse_encoder=sparse_encoder, tokenizer=tokenizer,
         top_k=args.top_k, include_hybrid=not args.no_hybrid,
         output_dir=args.output_dir or f"outputs/benchmark/{args.dataset}",
-        index_backend=args.index)
+        index_backend=args.index, external_dense_encoder=external)
     if args.encodings and Path(args.encodings).exists():
         runner.load_encodings(args.encodings)
     summary = runner.run()

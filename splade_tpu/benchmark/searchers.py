@@ -74,9 +74,10 @@ class DenseSearcher(BaseSearcher):
 
     name = "semantic"
 
-    def __init__(self, encoder, index: ExactDenseIndex):
+    def __init__(self, encoder, index: ExactDenseIndex, name: str = "semantic"):
         self.encoder = encoder
         self.index = index
+        self.name = name
 
     def _search(self, query: str, k: int) -> Ranked:
         vec = self.encoder.encode([query])[0]
@@ -146,4 +147,15 @@ def create_hybrid_searchers(
         add("bm25_sparse_rrf", [bm25, sparse], RRFFusion())
     if bm25 and sparse and dense:
         add("triple_rrf", [bm25, sparse, dense], RRFFusion())
+
+    # Cross-model hybrids with an external embedding model (reference:
+    # scripts/run_comprehensive_benchmark.py — Bedrock Titan + cross-model
+    # fusions). Present only when an ``external_dense`` searcher exists.
+    ext = base.get("external_dense")
+    if ext and sparse:
+        add("sparse_external_rrf", [sparse, ext], RRFFusion())
+    if ext and dense:
+        add("dual_dense_rrf", [dense, ext], RRFFusion())
+    if ext and bm25 and sparse and dense:
+        add("quad_rrf", [bm25, sparse, dense, ext], RRFFusion())
     return out

@@ -209,6 +209,31 @@ class TestRunnerEndToEnd:
         assert m["dataset"] == "synthetic"
         assert "neural_sparse vs bm25" in m["statistical_tests"]
 
+    def test_external_dense_model_and_cross_model_hybrids(self, tmp_path):
+        """PrecomputedDenseEncoder joins as a 4th model with cross-model
+        fusions (reference comprehensive-benchmark / Bedrock Titan path)."""
+        from splade_tpu.benchmark.encoders import PrecomputedDenseEncoder
+
+        data = synthetic_benchmark()
+        texts = list(data.corpus.values()) + list(data.queries.values())
+        emb = ToyDense().encode(texts) + 0.01  # a "different" external model
+        path = tmp_path / "titan.npz"
+        PrecomputedDenseEncoder.save_embeddings(str(path), texts, emb)
+        ext = PrecomputedDenseEncoder(str(path))
+        # lookup round-trips and normalizes
+        got = ext.encode(texts[:3])
+        np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, rtol=1e-5)
+        with pytest.raises(KeyError):
+            ext.encode(["never embedded"])
+
+        runner = BenchmarkRunner(
+            data, sparse_encoder=ToySparse(), dense_encoder=ToyDense(),
+            external_dense_encoder=ext, output_dir=str(tmp_path))
+        summary = runner.run()
+        assert {"external_dense", "sparse_external_rrf", "dual_dense_rrf",
+                "quad_rrf"} <= set(summary)
+        assert summary["external_dense"]["recall@1"] > 0
+
     def test_query_failure_degrades_gracefully(self, tmp_path):
         data = synthetic_benchmark()
 

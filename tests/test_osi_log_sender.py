@@ -130,6 +130,25 @@ def test_missing_credentials_fails(binary):
     assert "AWS_ACCESS_KEY_ID" in out.stderr
 
 
+@pytest.mark.parametrize("variant", ["asan", "tsan"])
+def test_sanitizer_builds_run_clean(variant):
+    """Sanitized builds pass the crypto self-test and a signed dry-run with
+    zero reports (mirrors tools/idf_compute sanitizer coverage)."""
+    r = subprocess.run(["make", "-C", TOOL_DIR, f"osi-log-sender-{variant}"],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"{variant} build unavailable: {r.stderr[-200:]}")
+    exe = os.path.join(TOOL_DIR, f"osi-log-sender-{variant}")
+    r = subprocess.run([exe, "--self-test"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = subprocess.run([exe, "--dry-run", "--batch", "5"],
+                       capture_output=True, text=True, env=ENV)
+    assert r.returncode == 0, r.stderr
+    for report in ("ThreadSanitizer", "AddressSanitizer",
+                   "runtime error"):  # UBSan prints 'runtime error:'
+        assert report not in r.stderr, r.stderr
+
+
 def test_live_post_to_local_server(binary):
     received = []
 
