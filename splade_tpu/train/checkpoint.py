@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import re
+import threading
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -29,6 +31,8 @@ import numpy as np
 from flax import serialization
 
 logger = logging.getLogger(__name__)
+
+_pending_writes: list = []  # async writer threads still in flight
 
 
 def _to_host(tree: Any) -> Any:
@@ -43,6 +47,14 @@ def _shape_template(tree: Any) -> Any:
                    if hasattr(x, "shape") else x), tree)
 
 
+def _atomic_write(path: Path, data: bytes) -> None:
+    """Write via temp-file + rename so a crash/preemption mid-write never
+    leaves a truncated checkpoint that resume would then pick up."""
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(
     output_dir: str,
     state,
@@ -50,26 +62,50 @@ def save_checkpoint(
     epoch: int = 0,
     best: Optional[float] = None,
     name: Optional[str] = None,
+    async_write: bool = False,
 ) -> str:
+    """async_write=True: the device->host transfer is synchronous (the step
+    donates and invalidates the old buffers), but msgpack serialization +
+    disk IO happen on a writer thread so training resumes immediately —
+    the reference blocks all ranks at a barrier for the whole save
+    (train_v33_ddp.py:698-713)."""
     step = int(state.step)
     ckpt_name = name or f"checkpoint_epoch{epoch}_step{step}"
     path = Path(output_dir) / ckpt_name
-    if jax.process_index() == 0:
-        path.mkdir(parents=True, exist_ok=True)
-        (path / "model.msgpack").write_bytes(
-            serialization.to_bytes(_to_host(state.params)))
-        train_state = {
-            "opt_state": _to_host(state.opt_state),
-            "step": step,
-            "epoch": epoch,
-            "best_metric": float(best) if best is not None else 0.0,
-        }
-        (path / "training_state.msgpack").write_bytes(
-            serialization.to_bytes(train_state))
+    if jax.process_index() != 0:
+        return str(path)
+    path.mkdir(parents=True, exist_ok=True)
+    host_params = _to_host(state.params)
+    train_state = {
+        "opt_state": _to_host(state.opt_state),
+        "step": step,
+        "epoch": epoch,
+        "best_metric": float(best) if best is not None else 0.0,
+    }
+
+    def write():
+        _atomic_write(path / "model.msgpack",
+                      serialization.to_bytes(host_params))
+        _atomic_write(path / "training_state.msgpack",
+                      serialization.to_bytes(train_state))
         if cfg is not None:
             (path / "config.json").write_text(json.dumps(cfg.to_dict(), indent=2))
-        logger.info("saved checkpoint %s", path)
+        logger.info("saved checkpoint %s%s", path,
+                    " (async)" if async_write else "")
+
+    if async_write:
+        t = threading.Thread(target=write, name=f"ckpt-write-{step}", daemon=False)
+        _pending_writes.append(t)
+        t.start()
+    else:
+        write()
     return str(path)
+
+
+def wait_for_pending_saves() -> None:
+    """Join in-flight async checkpoint writers (call before process exit)."""
+    while _pending_writes:
+        _pending_writes.pop().join()
 
 
 def save_final_model(output_dir: str, params, tokenizer=None) -> str:
@@ -126,6 +162,12 @@ def find_latest_checkpoint(output_dir: str) -> Optional[str]:
     best_step, best_path = -1, None
     for p in root.glob("checkpoint_*"):
         m = re.search(r"step(\d+)$", p.name)
+        # Skip checkpoints a crash/preemption left incomplete (model written
+        # but training_state missing): resuming one would silently restart
+        # the optimizer at epoch 1.
+        if not (p / "model.msgpack").exists() or not (
+                p / "training_state.msgpack").exists():
+            continue
         if m and int(m.group(1)) > best_step:
             best_step, best_path = int(m.group(1)), p
     return str(best_path) if best_path else None

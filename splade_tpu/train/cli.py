@@ -137,6 +137,7 @@ def main(argv: Optional[list] = None) -> int:
 
     trainer = Trainer(cfg, model, params, train_data, collator,
                       evaluator=evaluator, output_dir=out_dir)
+    trainer.install_preemption_handler()
 
     ckpt = args.checkpoint
     if args.resume and not ckpt:

@@ -210,6 +210,22 @@ class Trainer:
         self.ema_nonzero_q = MovingAverage(0.9)
         self.ema_nonzero_d = MovingAverage(0.9)
         self.start_epoch = 1
+        self._preempted = False
+
+    def install_preemption_handler(self) -> None:
+        """SIGTERM/SIGINT -> finish the in-flight step, checkpoint, exit
+        cleanly. TPU pod preemptions deliver SIGTERM with a grace window;
+        the reference has no equivalent (a killed run loses everything since
+        the last 5-epoch checkpoint). Main thread only."""
+        import signal
+
+        def handler(signum, frame):
+            logger.warning("signal %d: checkpointing at the next step boundary",
+                           signum)
+            self._preempted = True
+
+        signal.signal(signal.SIGTERM, handler)
+        signal.signal(signal.SIGINT, handler)
 
     def _macro_batches(self, epoch: int) -> Iterable[Dict[str, np.ndarray]]:
         self.loader.set_epoch(epoch)
@@ -226,7 +242,8 @@ class Trainer:
         t0 = time.time()
         samples = 0
         for macro in self._macro_batches(epoch):
-            if cfg.max_steps and int(self.state.step) >= cfg.max_steps:
+            if self._preempted or (
+                    cfg.max_steps and int(self.state.step) >= cfg.max_steps):
                 break
             device_batch = (jax.device_put(macro, self.batch_sharding)
                             if self.batch_sharding is not None else macro)
@@ -264,22 +281,30 @@ class Trainer:
             "training: %d epochs x %d steps (global batch %d x accum %d) on %d devices",
             cfg.num_epochs, self.steps_per_epoch, self.global_batch, self.accum,
             self.mesh.devices.size)
+        from splade_tpu.train.checkpoint import (
+            save_checkpoint, wait_for_pending_saves)
+
         for epoch in range(self.start_epoch, cfg.num_epochs + 1):
             t0 = time.time()
             self.train_epoch(epoch)
             logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+            if self._preempted:
+                save_checkpoint(self.output_dir, self.state, self.cfg,
+                                epoch=epoch, best=self.tracker.best_value)
+                logger.warning("preemption checkpoint written; exiting")
+                break
             if (self.evaluator is not None
                     and epoch % self.cfg.training.eval_every_n_epochs == 0):
                 scores = self.evaluator.evaluate(self.model, self.state.params)
                 self.writer.scalars(scores, int(self.state.step), prefix="eval/")
                 logger.info("eval @ epoch %d: %s", epoch, scores)
             if epoch % cfg.save_every_n_epochs == 0 or epoch == cfg.num_epochs:
-                from splade_tpu.train.checkpoint import save_checkpoint
-
                 save_checkpoint(self.output_dir, self.state, self.cfg,
-                                epoch=epoch, best=self.tracker.best_value)
+                                epoch=epoch, best=self.tracker.best_value,
+                                async_write=epoch != cfg.num_epochs)
             if cfg.max_steps and int(self.state.step) >= cfg.max_steps:
                 break
+        wait_for_pending_saves()
         self.tracker.summary()
         self.writer.close()
         return self.state

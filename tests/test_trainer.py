@@ -266,3 +266,75 @@ def test_same_seed_same_first_step(setup):
     f1, _ = ravel_pytree(p1)
     f2, _ = ravel_pytree(p2)
     assert np.array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def _mini_trainer(tmp_path, epochs=6):
+    rng = np.random.default_rng(7)
+    words = ["검색", "모델", "한국어", "문서", "질의", "벡터"]
+    mk = lambda: " ".join(rng.choice(words, size=4))
+    samples = [{"query": mk(), "positive": mk(), "negative": mk()}
+               for _ in range(64)]
+    model, _ = tiny_model()
+    cfg = V33Config.from_dict({
+        "data": {"batch_size": 1, "query_max_length": 8, "doc_max_length": 12},
+        "training": {
+            "num_epochs": epochs, "gradient_accumulation_steps": 2,
+            "log_every_n_steps": 1, "save_every_n_epochs": 2,
+            "eval_every_n_epochs": 100, "learning_rate": 1e-3,
+            "output_dir": str(tmp_path / "run"),
+        },
+    })
+    collator = TripletCollator(FakeTokenizer(), query_max_length=8,
+                               doc_max_length=12)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    return Trainer(cfg, model, params, samples, collator)
+
+
+def test_async_checkpoint_save_is_valid_and_atomic(tmp_path):
+    from splade_tpu.train.checkpoint import (
+        save_checkpoint, wait_for_pending_saves)
+
+    trainer = _mini_trainer(tmp_path, epochs=1)
+    path = save_checkpoint(str(tmp_path), trainer.state, epoch=1,
+                           async_write=True)
+    wait_for_pending_saves()
+    assert not list(tmp_path.glob("**/*.tmp"))  # atomic rename, no leftovers
+    restored, meta = load_checkpoint(path, trainer.state)
+    assert meta["full_resume"] is True
+    f1, _ = ravel_pytree(restored.params)
+    f2, _ = ravel_pytree(trainer.state.params)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_find_latest_skips_incomplete_checkpoints(tmp_path):
+    from splade_tpu.train.checkpoint import save_checkpoint
+
+    trainer = _mini_trainer(tmp_path, epochs=1)
+    good = save_checkpoint(str(tmp_path), trainer.state, epoch=1)
+    # a crash left a higher-step dir without training_state
+    bad = tmp_path / "checkpoint_epoch9_step99"
+    bad.mkdir()
+    (bad / "model.msgpack").write_bytes(b"partial")
+    assert find_latest_checkpoint(str(tmp_path)) == good
+
+
+def test_preemption_signal_checkpoints_and_stops(tmp_path):
+    """SIGTERM mid-training -> break at the step boundary, checkpoint, stop
+    before num_epochs completes."""
+    import os
+    import signal
+    import threading
+
+    trainer = _mini_trainer(tmp_path, epochs=50)
+    trainer.install_preemption_handler()
+    threading.Timer(3.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+    state = trainer.train()
+    assert trainer._preempted
+    assert int(state.step) < trainer.total_steps  # stopped early
+    ckpt = find_latest_checkpoint(str(tmp_path / "run"))
+    assert ckpt is not None
+    restored, meta = load_checkpoint(ckpt, trainer.state)
+    assert meta["full_resume"] and meta["step"] == int(state.step)
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, signal.default_int_handler)
