@@ -32,6 +32,39 @@ def _bucket_batch(n: int, pad: int) -> int:
     return b
 
 
+def make_fused_search_fn(model, banned, query_top_k: int, is_int8: bool):
+    """Pure fused encode→search fn (un-jitted) shared by ServingEngine and
+    the end-to-end latency bench: (params, mat, scale, ids, mask, n_valid, k)
+    -> (scores [B,k], doc_indices [B,k])."""
+    import jax
+    import jax.numpy as jnp
+
+    def fused_search(p, mat, scale, ids, mask, n_valid, k):
+        repr_, _ = model.apply({"params": p}, ids, mask)   # [B, V]
+        repr_ = repr_.astype(jnp.float32)
+        if banned is not None:
+            repr_ = jnp.where(banned[None, :], 0.0, repr_)
+        if query_top_k:
+            # keep the query_top_k strongest activations per query (static
+            # shape: threshold-zeroing instead of gather)
+            thr = jax.lax.top_k(repr_, query_top_k)[0][:, -1:]
+            repr_ = jnp.where(repr_ >= jnp.maximum(thr, 1e-9), repr_, 0.0)
+        if is_int8:
+            scores = jax.lax.dot_general(
+                repr_.astype(jnp.bfloat16), mat.astype(jnp.bfloat16).T,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale[None, :]
+        else:
+            scores = jax.lax.dot_general(
+                repr_.astype(mat.dtype), mat.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        idx = jnp.arange(scores.shape[1])
+        scores = jnp.where(idx[None, :] < n_valid, scores, -jnp.inf)
+        return jax.lax.top_k(scores, k)
+
+    return fused_search
+
+
 class ServingEngine:
     """Owns device-pinned params + a built TpuImpactIndex.
 
@@ -71,32 +104,9 @@ class ServingEngine:
 
         banned = jnp.asarray(self.encoder._banned) if (
             self.encoder._banned is not None) else None
-        is_int8 = getattr(index, "quantize_int8", False)
-        qtk = query_top_k
-
-        def fused_search(p, mat, scale, ids, mask, n_valid, k):
-            repr_, _ = model.apply({"params": p}, ids, mask)   # [B, V]
-            repr_ = repr_.astype(jnp.float32)
-            if banned is not None:
-                repr_ = jnp.where(banned[None, :], 0.0, repr_)
-            if qtk:
-                # keep the qtk strongest activations per query (static shape:
-                # threshold-zeroing instead of gather)
-                thr = jax.lax.top_k(repr_, qtk)[0][:, -1:]
-                repr_ = jnp.where(repr_ >= jnp.maximum(thr, 1e-9), repr_, 0.0)
-            if is_int8:
-                scores = jax.lax.dot_general(
-                    repr_.astype(jnp.bfloat16), mat.astype(jnp.bfloat16).T,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale[None, :]
-            else:
-                scores = jax.lax.dot_general(
-                    repr_.astype(mat.dtype), mat.T, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            idx = jnp.arange(scores.shape[1])
-            scores = jnp.where(idx[None, :] < n_valid, scores, -jnp.inf)
-            return jax.lax.top_k(scores, k)
-
+        fused_search = make_fused_search_fn(
+            model, banned, query_top_k,
+            is_int8=getattr(index, "quantize_int8", False))
         self._fused_jit = jax.jit(fused_search, static_argnums=(6,))
 
     # ------------------------------------------------------------- search
