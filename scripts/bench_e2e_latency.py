@@ -73,17 +73,17 @@ def main() -> None:
             return acc
 
         warm_ids, warm_mask = qset()
-        out = sweep(params, mat, scale, jnp.asarray(warm_ids),
-                    jnp.asarray(warm_mask))  # compile + warm
-        jax.block_until_ready(out)
+        float(sweep(params, mat, scale, jnp.asarray(warm_ids),
+                    jnp.asarray(warm_mask)))  # compile + warm
+        # Timing forces a scalar FETCH: on the remote-execution backend
+        # block_until_ready can return before the work completes.
         times = []
         for _ in range(3):
             t_ids, t_mask = qset()
             t_ids, t_mask = jnp.asarray(t_ids), jnp.asarray(t_mask)
             jax.block_until_ready((t_ids, t_mask))  # exclude upload time
             t0 = time.time()
-            out = sweep(params, mat, scale, t_ids, t_mask)
-            jax.block_until_ready(out)
+            float(sweep(params, mat, scale, t_ids, t_mask))
             times.append(time.time() - t0)
         dt = min(times)
         per_batch_ms = dt / args.reps * 1e3

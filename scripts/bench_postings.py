@@ -1,0 +1,115 @@
+"""Postings-index QPS at corpus scales the dense matrix cannot hold.
+
+At N=10^6 docs x V=50K, the dense int8 impact matrix would need 50 GB HBM
+(impossible on a 16 GB v5e); the truncated postings structure needs
+O(total postings) — ~0.5 GB at P=2048. This bench measures end-of-index
+search QPS at that scale (queries already encoded: top-32 terms), with the
+sweep in one jit (lax.scan) so tunnel RPC latency doesn't pollute it and
+inputs varying so the remote proxy can't memoize.
+
+Usage: python scripts/bench_postings.py [--docs 1000000] [--batch 256]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", type=int, default=1_000_000)
+    p.add_argument("--nnz-doc", type=int, default=54)
+    p.add_argument("--n-postings", type=int, default=2048)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--top-t", type=int, default=32)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--exact-topk", action="store_true",
+                   help="lax.top_k instead of approx_max_k")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+
+    V = 50_000
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    idx = TpuPostingsIndex(V, n_postings=args.n_postings,
+                           query_top_t=args.top_t, approx=not args.exact_topk)
+    # bulk synthetic corpus (vectorized; Zipf-ish term popularity)
+    popularity = rng.zipf(1.3, size=args.docs * args.nnz_doc) % V
+    all_idx = popularity.astype(np.int32).reshape(args.docs, args.nnz_doc)
+    all_val = (np.abs(rng.normal(size=(args.docs, args.nnz_doc))
+                      ).astype(np.float32) + 0.1)
+    idx.add_csr([f"d{i}" for i in range(args.docs)], all_idx, all_val)
+    gen_s = time.time() - t0
+    t0 = time.time()
+    idx.build()
+    build_s = time.time() - t0
+
+    post_docs, post_w, scale = idx._built
+    n = len(idx.doc_ids)
+    B, T, K, R = args.batch, args.top_t, args.k, args.reps
+    approx = idx.approx
+
+    def qset():
+        qi = rng.integers(0, V, size=(R, B, T)).astype(np.int32)
+        qv = (np.abs(rng.normal(size=(R, B, T))).astype(np.float32) + 0.1)
+        return jnp.asarray(qi), jnp.asarray(qv)
+
+    @jax.jit
+    def sweep(post_docs, post_w, scale, q_idx, q_val):
+        def body(acc0, q):
+            qi, qv = q
+            rows_d = post_docs[qi]
+            rows_w = post_w[qi].astype(jnp.bfloat16)
+            contrib = rows_w * (qv * scale[qi])[:, :, None].astype(jnp.bfloat16)
+            acc = jnp.zeros((B, n), jnp.float32)
+            b_ix = jnp.broadcast_to(
+                jnp.arange(B, dtype=jnp.int32)[:, None, None], rows_d.shape)
+            acc = acc.at[b_ix, rows_d].add(contrib.astype(jnp.float32),
+                                           mode="drop")
+            vals = (jax.lax.approx_max_k(acc, K) if approx
+                    else jax.lax.top_k(acc, K))[0]
+            return acc0 + vals.sum(), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), (q_idx, q_val))
+        return out
+
+    qi, qv = qset()
+    float(sweep(post_docs, post_w, scale, qi, qv))  # compile+warm
+    # NOTE: timing must force a scalar FETCH — on the remote-execution
+    # backend block_until_ready can return before the work completes.
+    times = []
+    for _ in range(3):
+        qi, qv = qset()
+        jax.block_until_ready((qi, qv))
+        t0 = time.time()
+        float(sweep(post_docs, post_w, scale, qi, qv))
+        times.append(time.time() - t0)
+    dt = min(times)
+    qps = R * B / dt
+    print(json.dumps({
+        "metric": "postings_index_qps",
+        "device": str(jax.devices()[0]),
+        "docs": n,
+        "n_postings": args.n_postings,
+        "truncated_pct": round(100.0 * idx.truncated_postings / idx.nnz, 2),
+        "device_mb": round(idx.memory_bytes() / 1e6, 1),
+        "dense_int8_equivalent_mb": round(n * V / 1e6, 1),
+        "build_s": round(build_s, 1),
+        "corpus_gen_s": round(gen_s, 1),
+        "batch": B,
+        "qps": round(qps, 1),
+        "ms_per_query": round(1e3 / qps, 4),
+        "topk": "approx" if approx else "exact",
+        "runs_s": [round(t, 3) for t in times],
+    }))
+
+
+if __name__ == "__main__":
+    main()

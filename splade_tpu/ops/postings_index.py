@@ -1,0 +1,219 @@
+"""Postings-list sparse index for large corpora (>~300K docs/chip).
+
+The dense ``TpuImpactIndex`` stores the corpus as an [N, V] matrix — ideal up
+to a few 10^5 docs (int8 at N=300K x V=50K is ~15 GB HBM), impossible at
+N=10^6+. This index is the classic impact-ordered postings design mapped to
+XLA (reference methodology: the SEISMIC experiments in
+scripts/neural_sparse_search_aws.py:1314-1434 sweep exactly this structure's
+``n_postings`` / truncation parameters against an exact baseline):
+
+- **Build**: per vocab term, keep the ``n_postings`` highest-impact
+  (doc, weight) pairs, quantized int8 with a per-term scale, padded to one
+  rectangular [V, P] pair of arrays (regular shapes; the MXU-hostile ragged
+  CSR never reaches the device).
+- **Query**: gather the posting rows of the query's top-T terms
+  ([B, T, P]), multiply by query weights, scatter-add into a [B, N]
+  accumulator, then ``lax.approx_max_k`` (the TPU-native partial sort) or
+  exact ``top_k``. Work per batch is O(B·T·P) gathered elements —
+  independent of V and linear in the truncation cap, vs O(B·N·V) MACs for
+  the dense matmul.
+- Memory is O(total truncated postings): at N=10^6, ~54 nnz/doc and
+  P=2048 it is ~0.5 GB where the dense int8 matrix would need 50 GB.
+
+Truncation is lossy for very common terms (their tail postings are
+dropped), which is exactly the SEISMIC trade; recall-vs-exact is measured in
+tests and in ``scripts/run_index_experiments.py``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class TpuPostingsIndex:
+    """Impact-ordered truncated postings on device.
+
+    API mirrors TpuImpactIndex where it can (add/add_batch/build/__len__/
+    memory_bytes); queries are sparse (indices, values) pairs — use
+    ``search_topk`` for batches or ``search_vector`` for one query.
+    """
+
+    def __init__(
+        self,
+        vocab_size: int,
+        n_postings: int = 2048,
+        query_top_t: int = 32,
+        batch_pad: int = 8,
+        approx: bool = True,
+    ):
+        self.vocab_size = vocab_size
+        self.n_postings = n_postings
+        self.query_top_t = query_top_t
+        self.batch_pad = batch_pad
+        self.approx = approx
+        self.doc_ids: List[str] = []
+        self.nnz = 0
+        # staged CSR (host): per-doc arrays
+        self._doc_idx: List[np.ndarray] = []
+        self._doc_val: List[np.ndarray] = []
+        self._built = None  # (post_docs [V,P] i32, post_w [V,P] i8, scale [V] f32)
+        self._search_jit = None
+        self.truncated_postings = 0  # dropped by the n_postings cap
+
+    # ---------------------------------------------------------------- build
+    def add(self, doc_id: str, indices: np.ndarray, values: np.ndarray) -> None:
+        self.doc_ids.append(doc_id)
+        idx = np.asarray(indices, np.int32)
+        self._doc_idx.append(idx)
+        self._doc_val.append(np.asarray(values, np.float32))
+        self.nnz += len(idx)
+        self._built = None
+
+    def add_batch(self, doc_ids: Sequence[str],
+                  vecs: Sequence[Tuple[np.ndarray, np.ndarray]]) -> None:
+        for did, (idx, val) in zip(doc_ids, vecs):
+            self.add(did, idx, val)
+
+    def add_csr(self, doc_ids: Sequence[str], indices: np.ndarray,
+                values: np.ndarray) -> None:
+        """Bulk staging: [N, nnz] rectangular term-id/weight blocks (million-
+        doc corpora skip the per-doc python loop)."""
+        assert len(doc_ids) == len(indices) == len(values)
+        self.doc_ids.extend(doc_ids)
+        self._doc_idx.extend(np.asarray(indices, np.int32))
+        self._doc_val.extend(np.asarray(values, np.float32))
+        self.nnz += int(np.prod(np.asarray(indices).shape))
+        self._built = None
+
+    def build(self) -> None:
+        import jax
+
+        n = len(self.doc_ids)
+        if n == 0:
+            raise ValueError("empty index")
+        P, V = self.n_postings, self.vocab_size
+
+        # Invert the staged CSR: term -> (doc, weight) lists, via one
+        # concatenated sort by term id (vectorized; no per-term python loop).
+        all_terms = np.concatenate(self._doc_idx)
+        all_vals = np.concatenate(self._doc_val)
+        all_docs = np.repeat(
+            np.arange(n, dtype=np.int32),
+            [len(x) for x in self._doc_idx])
+        order = np.lexsort((-all_vals, all_terms))  # by term, impact-desc
+        t_sorted = all_terms[order]
+        d_sorted = all_docs[order]
+        v_sorted = all_vals[order]
+        starts = np.searchsorted(t_sorted, np.arange(V, dtype=np.int64))
+        ends = np.searchsorted(t_sorted, np.arange(1, V + 1, dtype=np.int64))
+        df = (ends - starts).astype(np.int64)
+        kept = np.minimum(df, P)
+        self.truncated_postings = int((df - kept).sum())
+
+        post_docs = np.zeros((V, P), np.int32)   # pad doc 0 w/ weight 0
+        post_w = np.zeros((V, P), np.float32)
+        # rows with any postings, filled by a flat scatter
+        rows = np.repeat(np.arange(V, dtype=np.int64), kept)
+        offs = (np.arange(len(rows)) -
+                np.repeat(np.cumsum(kept) - kept, kept))
+        take = np.repeat(starts, kept) + offs
+        post_docs[rows, offs] = d_sorted[take]
+        post_w[rows, offs] = v_sorted[take]
+
+        # int8 quantization with per-term scales (the first slot holds each
+        # term's max impact — lists are impact-ordered).
+        scale = np.maximum(post_w[:, 0], 1e-6) / 127.0
+        q = np.clip(np.round(post_w / scale[:, None]), 0, 127).astype(np.int8)
+
+        self._built = (jax.device_put(post_docs), jax.device_put(q),
+                       jax.device_put(scale.astype(np.float32)))
+        self._make_search()
+        logger.info(
+            "postings index: %d docs, %d terms with df>0, cap P=%d "
+            "(truncated %.2f%% of postings), %.0f MB on device",
+            n, int((df > 0).sum()), P,
+            100.0 * self.truncated_postings / max(self.nnz, 1),
+            self.memory_bytes() / 1e6)
+
+    # ---------------------------------------------------------------- search
+    def _make_search(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        n = len(self.doc_ids)
+        approx = self.approx
+
+        # Arrays are arguments, not closures (closure constants ship inside
+        # the remote compile request — HTTP 413 at ~1 GB).
+        def search(post_docs, post_w, scale, q_idx, q_val, k):
+            B, T = q_idx.shape
+            rows_d = post_docs[q_idx]               # [B, T, P] gather
+            rows_w = post_w[q_idx].astype(jnp.bfloat16)
+            term_scale = scale[q_idx]               # [B, T]
+            contrib = (rows_w *
+                       (q_val * term_scale)[:, :, None].astype(jnp.bfloat16))
+            acc = jnp.zeros((B, n), jnp.float32)
+            b_ix = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+            b_ix = jnp.broadcast_to(b_ix, rows_d.shape)
+            acc = acc.at[b_ix, rows_d].add(
+                contrib.astype(jnp.float32), mode="drop",
+                unique_indices=False, indices_are_sorted=False)
+            if approx:
+                return jax.lax.approx_max_k(acc, k)
+            return jax.lax.top_k(acc, k)
+
+        jitted = jax.jit(search, static_argnums=5)
+        self._search_jit = lambda qi, qv, k: jitted(*self._built, qi, qv, k)
+
+    def search_topk(
+        self, q_indices: np.ndarray, q_values: np.ndarray, k: int = 10
+    ) -> List[List[Tuple[str, float]]]:
+        """Batched sparse queries: [B, T] term ids + weights (pad with
+        weight 0). T is truncated/padded to ``query_top_t``."""
+        import jax.numpy as jnp
+
+        if self._built is None:
+            self.build()
+        q_indices = np.asarray(q_indices, np.int32)
+        q_values = np.asarray(q_values, np.float32)
+        B, T = q_indices.shape
+        Tt = self.query_top_t
+        if T > Tt:  # keep strongest T terms
+            keep = np.argsort(-q_values, axis=1)[:, :Tt]
+            q_indices = np.take_along_axis(q_indices, keep, axis=1)
+            q_values = np.take_along_axis(q_values, keep, axis=1)
+        elif T < Tt:
+            q_indices = np.pad(q_indices, ((0, 0), (0, Tt - T)))
+            q_values = np.pad(q_values, ((0, 0), (0, Tt - T)))
+        pad_b = -B % self.batch_pad
+        if pad_b:
+            q_indices = np.pad(q_indices, ((0, pad_b), (0, 0)))
+            q_values = np.pad(q_values, ((0, pad_b), (0, 0)))
+        vals, idxs = self._search_jit(
+            jnp.asarray(q_indices), jnp.asarray(q_values), k)
+        vals = np.asarray(vals)[:B]
+        idxs = np.asarray(idxs)[:B]
+        return [[(self.doc_ids[int(i)], float(v))
+                 for v, i in zip(vals[b], idxs[b]) if v > 0]
+                for b in range(B)]
+
+    def search_vector(
+        self, indices: np.ndarray, values: np.ndarray, k: int = 10
+    ) -> List[Tuple[str, float]]:
+        return self.search_topk(np.asarray(indices)[None],
+                                np.asarray(values)[None], k)[0]
+
+    # ---------------------------------------------------------------- info
+    def __len__(self) -> int:
+        return len(self.doc_ids)
+
+    def memory_bytes(self) -> int:
+        if self._built is None:
+            return 0
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                   for a in self._built)

@@ -1,0 +1,122 @@
+"""Postings index tests: exactness when lossless, measured recall when
+truncated, quantization bounds, API parity with the exact oracle.
+
+Reference methodology: the SEISMIC experiments
+(scripts/neural_sparse_search_aws.py) measure an ANN postings structure
+against exact search while sweeping the posting-list cap.
+"""
+
+import numpy as np
+import pytest
+
+from splade_tpu.benchmark.index import ExactSparseIndex
+from splade_tpu.ops.postings_index import TpuPostingsIndex
+
+V = 500
+
+
+def synth_corpus(n=300, nnz=12, seed=0):
+    rng = np.random.default_rng(seed)
+    vecs = []
+    for _ in range(n):
+        idx = rng.choice(V, size=nnz, replace=False).astype(np.int32)
+        val = (np.abs(rng.normal(size=nnz)) + 0.05).astype(np.float32)
+        vecs.append((idx, val))
+    return vecs
+
+
+def synth_queries(b=16, t=6, seed=1):
+    rng = np.random.default_rng(seed)
+    qi = np.stack([rng.choice(V, size=t, replace=False) for _ in range(b)])
+    qv = np.abs(rng.normal(size=(b, t))).astype(np.float32) + 0.05
+    return qi.astype(np.int32), qv
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth_corpus()
+
+
+def build_both(corpus, n_postings, approx=False):
+    exact = ExactSparseIndex(vocab_size=V)
+    post = TpuPostingsIndex(V, n_postings=n_postings, query_top_t=8,
+                            approx=approx)
+    for i, (idx, val) in enumerate(corpus):
+        exact.add(f"d{i}", idx, val)
+        post.add(f"d{i}", idx, val)
+    post.build()
+    return exact, post
+
+
+def test_lossless_cap_matches_exact(corpus):
+    """n_postings >= max df -> same ranking as the exact oracle (scores
+    within int8 quantization tolerance)."""
+    exact, post = build_both(corpus, n_postings=512)
+    assert post.truncated_postings == 0
+    qi, qv = synth_queries()
+    got = post.search_topk(qi, qv, k=5)
+    for b in range(len(qi)):
+        want = exact.search_vector(qi[b], qv[b], k=5)
+        want_scores = dict(want)
+        # every returned doc's score is correct within quantization error
+        for doc, score in got[b]:
+            ref = exact.search_vector(qi[b], qv[b], k=len(exact.doc_ids))
+            ref_score = dict(ref).get(doc, 0.0)
+            assert score == pytest.approx(ref_score, rel=0.05, abs=0.02)
+        # top-1 agrees unless quantization flipped a near-tie
+        if len(want) >= 2 and want[0][1] > want[1][1] * 1.05:
+            assert got[b][0][0] == want[0][0]
+
+
+def test_truncation_measured_recall(corpus):
+    """A tight cap drops tail postings; recall@10 vs exact stays high because
+    lists are impact-ordered (the dropped tail has the smallest weights)."""
+    exact, post = build_both(corpus, n_postings=4)
+    assert post.truncated_postings > 0
+    qi, qv = synth_queries(b=32)
+    got = post.search_topk(qi, qv, k=10)
+    hits = total = 0
+    for b in range(len(qi)):
+        want = {d for d, _ in exact.search_vector(qi[b], qv[b], k=10)}
+        have = {d for d, _ in got[b]}
+        hits += len(want & have)
+        total += len(want)
+    assert hits / total > 0.5, f"recall {hits/total:.2f}"
+
+
+def test_single_vector_and_padding_api(corpus):
+    _, post = build_both(corpus, n_postings=512)
+    idx, val = corpus[7]
+    res = post.search_vector(idx, val, k=3)
+    assert res[0][0] == "d7"  # a doc matches itself best
+    # query wider than query_top_t gets truncated to the strongest terms
+    wide_i = np.arange(20, dtype=np.int32)[None]
+    wide_v = np.linspace(1, 0.01, 20, dtype=np.float32)[None]
+    out = post.search_topk(wide_i, wide_v, k=3)
+    assert len(out) == 1
+
+
+def test_memory_is_o_postings_not_o_nv(corpus):
+    _, post = build_both(corpus, n_postings=16)
+    dense_bytes = len(corpus) * V  # int8 dense matrix
+    assert post.memory_bytes() < 6 * dense_bytes  # small V favors dense;
+    # the win shows at scale: bytes are independent of corpus size N
+    assert post.memory_bytes() == V * 16 * (4 + 1) + V * 4
+
+
+def test_approx_topk_mode(corpus):
+    exact, post = build_both(corpus, n_postings=512, approx=True)
+    qi, qv = synth_queries(b=8)
+    got = post.search_topk(qi, qv, k=5)
+    hits = total = 0
+    for b in range(8):
+        want = {d for d, _ in exact.search_vector(qi[b], qv[b], k=5)}
+        have = {d for d, _ in got[b]}
+        hits += len(want & have)
+        total += len(want)
+    assert hits / total >= 0.8  # approx_max_k default recall target ~0.95
+
+
+def test_empty_index_raises():
+    with pytest.raises(ValueError):
+        TpuPostingsIndex(V).build()
