@@ -65,6 +65,37 @@ def make_fused_search_fn(model, banned, query_top_k: int, is_int8: bool):
     return fused_search
 
 
+def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
+                                  approx: bool = True):
+    """Fused encode→postings-search for TpuPostingsIndex-backed serving:
+    (params, post_docs, post_w, term_scale, ids, mask, k) ->
+    (scores [B,k], doc_indices [B,k]). One dispatch at million-doc scale."""
+    import jax
+    import jax.numpy as jnp
+
+    def fused(p, post_docs, post_w, term_scale, ids, mask, k):
+        repr_, _ = model.apply({"params": p}, ids, mask)    # [B, V]
+        repr_ = repr_.astype(jnp.float32)
+        if banned is not None:
+            repr_ = jnp.where(banned[None, :], 0.0, repr_)
+        q_val, q_idx = jax.lax.top_k(repr_, top_t)           # [B, T]
+        rows_d = post_docs[q_idx]                            # [B, T, P]
+        rows_w = post_w[q_idx].astype(jnp.bfloat16)
+        contrib = rows_w * (q_val * term_scale[q_idx])[:, :, None].astype(
+            jnp.bfloat16)
+        B = ids.shape[0]
+        acc = jnp.zeros((B, n_docs), jnp.float32)
+        b_ix = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None, None], rows_d.shape)
+        acc = acc.at[b_ix, rows_d].add(contrib.astype(jnp.float32),
+                                       mode="drop")
+        if approx:
+            return jax.lax.approx_max_k(acc, k)
+        return jax.lax.top_k(acc, k)
+
+    return fused
+
+
 class ServingEngine:
     """Owns device-pinned params + a built TpuImpactIndex.
 
@@ -104,10 +135,20 @@ class ServingEngine:
 
         banned = jnp.asarray(self.encoder._banned) if (
             self.encoder._banned is not None) else None
-        fused_search = make_fused_search_fn(
-            model, banned, query_top_k,
-            is_int8=getattr(index, "quantize_int8", False))
-        self._fused_jit = jax.jit(fused_search, static_argnums=(6,))
+        from splade_tpu.ops.postings_index import TpuPostingsIndex
+
+        self._postings = isinstance(index, TpuPostingsIndex)
+        if self._postings:
+            if index._built is None:
+                index.build()
+            fused = make_fused_postings_search_fn(
+                model, banned, top_t=index.query_top_t, n_docs=len(index),
+                approx=index.approx)
+        else:
+            fused = make_fused_search_fn(
+                model, banned, query_top_k,
+                is_int8=getattr(index, "quantize_int8", False))
+        self._fused_jit = jax.jit(fused, static_argnums=(6,))
 
     # ------------------------------------------------------------- search
     def _quantize_k(self, k: int) -> int:
@@ -127,23 +168,30 @@ class ServingEngine:
 
         k = min(max(k, 1), self.max_k, len(self.index))
         k_eff = self._quantize_k(k)
-        mat, scale, n_valid = self.index.device_arrays()
         B = len(queries)
         padded = list(queries) + [""] * (
             _bucket_batch(max(B, 1), self.batch_pad) - B)
         enc = self.tokenizer(
             padded, padding="max_length", truncation=True,
             max_length=self.query_max_length, return_tensors="np")
-        vals, idxs = self._fused_jit(
-            self.params, mat, scale,
-            jnp.asarray(enc["input_ids"].astype(np.int32)),
-            jnp.asarray(enc["attention_mask"].astype(np.int32)),
-            n_valid, k_eff)
+        ids = jnp.asarray(enc["input_ids"].astype(np.int32))
+        mask = jnp.asarray(enc["attention_mask"].astype(np.int32))
+        if self._postings:
+            post_docs, post_w, term_scale = self.index._built
+            vals, idxs = self._fused_jit(
+                self.params, post_docs, post_w, term_scale, ids, mask, k_eff)
+        else:
+            mat, scale, n_valid = self.index.device_arrays()
+            vals, idxs = self._fused_jit(
+                self.params, mat, scale, ids, mask, n_valid, k_eff)
         vals = np.asarray(vals)[:B, :k]
         idxs = np.asarray(idxs)[:B, :k]
         doc_ids = self.index.doc_ids
+        # dense pads rows with -inf; postings no-overlap docs score 0 — both
+        # are non-results
+        keep = (lambda v: v > 0) if self._postings else np.isfinite
         return [[(doc_ids[int(i)], float(v))
-                 for v, i in zip(vals[b], idxs[b]) if np.isfinite(v)]
+                 for v, i in zip(vals[b], idxs[b]) if keep(v)]
                 for b in range(B)]
 
     def warmup(self, max_batch_size: int = 32) -> int:
@@ -186,15 +234,27 @@ def build_engine_from_docs(
     int8: bool = True,
     doc_top_k: int = 0,
     mesh=None,
+    index_type: str = "dense",
+    n_postings: int = 2048,
     **engine_kw,
 ) -> ServingEngine:
-    """Encode (doc_id, text) pairs on device and build a served index."""
+    """Encode (doc_id, text) pairs on device and build a served index.
+
+    index_type: 'dense' ([N,V] matmul index — best to a few 10^5 docs) or
+    'postings' (impact-ordered truncated postings — million-doc corpora)."""
     from splade_tpu.benchmark.encoders import SparseEncoderV33
-    from splade_tpu.ops.impact_index import TpuImpactIndex
 
     enc = SparseEncoderV33(model, params, tokenizer, doc_top_k=doc_top_k)
-    index = TpuImpactIndex(len(tokenizer),
-                           quantize_int8=int8, mesh=mesh)
+    if index_type == "postings":
+        from splade_tpu.ops.postings_index import TpuPostingsIndex
+
+        index = TpuPostingsIndex(
+            len(tokenizer), n_postings=n_postings,
+            query_top_t=engine_kw.get("query_top_k", 64) or 32)
+    else:
+        from splade_tpu.ops.impact_index import TpuImpactIndex
+
+        index = TpuImpactIndex(len(tokenizer), quantize_int8=int8, mesh=mesh)
     ids = [d for d, _ in docs]
     vecs = enc.encode_documents([t for _, t in docs])
     index.add_batch(ids, vecs)

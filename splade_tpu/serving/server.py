@@ -153,6 +153,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--int8", action="store_true", default=True)
     p.add_argument("--no-int8", dest="int8", action="store_false")
+    p.add_argument("--index", default="dense", choices=["dense", "postings"],
+                   help="dense [N,V] matmul (<~300K docs) or truncated "
+                        "postings (million-doc corpora)")
+    p.add_argument("--n-postings", type=int, default=2048)
     p.add_argument("--query-top-k", type=int, default=64)
     p.add_argument("--max-batch-size", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
@@ -180,7 +184,8 @@ def main(argv: Optional[list] = None) -> int:
     logger.info("indexing %d docs ...", len(docs))
     engine = build_engine_from_docs(
         enc.model, enc.params, tokenizer, docs, int8=args.int8,
-        query_top_k=args.query_top_k)
+        query_top_k=args.query_top_k, index_type=args.index,
+        n_postings=args.n_postings)
     if args.warmup:
         logger.info("warming serving shapes (one compile per shape) ...")
     service = SearchService(engine, max_batch_size=args.max_batch_size,

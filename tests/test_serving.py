@@ -83,6 +83,38 @@ def test_engine_encode_roundtrip(engine):
     assert not set(idx.tolist()) & {0, 1}
 
 
+def test_postings_backed_engine_matches_dense(engine):
+    """The same corpus served through the postings backend returns the same
+    top documents as the dense engine (cap lossless at this scale)."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    docs = [(f"doc{i}", f"문서 {i} 텍스트 {'가나다라마바사'[i % 7]}")
+            for i in range(40)]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuPostingsIndex(VOCAB, n_postings=64, query_top_t=16,
+                             approx=False)  # exact top_k: deterministic check
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    index.build()
+    post_engine = ServingEngine(model, params, tok, index,
+                                query_top_k=16, query_max_length=16)
+    assert post_engine._postings and index.truncated_postings == 0
+    queries = ["가나다 검색", "문서 7"]
+    dense = engine.search_batch(queries, k=5)
+    post = post_engine.search_batch(queries, k=5)
+    for d, p in zip(dense, post):
+        assert [x for x, _ in d] == [x for x, _ in p]
+        np.testing.assert_allclose([s for _, s in d], [s for _, s in p],
+                                   rtol=5e-2)
+
+
 def test_engine_warmup_covers_serving_shapes(engine):
     shapes = engine.warmup(max_batch_size=32)
     assert shapes == 3 * len(engine.k_tiers)  # buckets 8,16,32 x k tiers
