@@ -366,6 +366,20 @@ class MLMTrainer:
         self.writer = MetricWriter(f"{cfg.output_dir}/tb")
         self.tracker = MetricsTracker(cfg.output_dir, best_metric="loss")
         self.start_epoch = 1
+        self._preempted = False
+
+    def install_preemption_handler(self) -> None:
+        """SIGTERM/SIGINT -> checkpoint at the next step boundary and exit
+        cleanly (same contract as Trainer.install_preemption_handler)."""
+        import signal
+
+        def handler(signum, frame):
+            logger.warning("signal %d: checkpointing at the next step boundary",
+                           signum)
+            self._preempted = True
+
+        signal.signal(signal.SIGTERM, handler)
+        signal.signal(signal.SIGINT, handler)
 
     def _epoch_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.cfg.seed + epoch)
@@ -419,7 +433,7 @@ class MLMTrainer:
         for epoch in range(self.start_epoch, cfg.epochs + 1):
             for batch in self._epoch_batches(epoch):
                 gstep = int(self.state.step)
-                if cfg.max_steps and gstep >= cfg.max_steps:
+                if self._preempted or (cfg.max_steps and gstep >= cfg.max_steps):
                     break
                 device_batch = ({"input_ids": jax.device_put(
                     batch["input_ids"], self.batch_sharding)}
@@ -453,7 +467,8 @@ class MLMTrainer:
                     save_checkpoint(cfg.output_dir, self.state, self.cfg,
                                     epoch=epoch,
                                     best=self.tracker.best_value)
-            if cfg.max_steps and int(self.state.step) >= cfg.max_steps:
+            if self._preempted or (
+                    cfg.max_steps and int(self.state.step) >= cfg.max_steps):
                 break
         save_checkpoint(self.cfg.output_dir, self.state, self.cfg,
                         epoch=self.cfg.epochs, best=self.tracker.best_value)
@@ -536,6 +551,7 @@ def main(argv: Optional[list] = None) -> int:
                 sum(x.size for x in jax.tree_util.tree_leaves(params)) / 1e6)
 
     trainer = MLMTrainer(cfg, model, params, rows, tokenizer)
+    trainer.install_preemption_handler()
     ckpt = args.checkpoint
     if args.resume and not ckpt:
         ckpt = find_latest_checkpoint(cfg.output_dir)

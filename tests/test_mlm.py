@@ -199,6 +199,36 @@ def test_mlm_trainer_end_to_end(tmp_path):
     assert meta["full_resume"] and meta["step"] == int(state.step)
 
 
+def test_mlm_preemption_checkpoints_and_stops(tmp_path):
+    import os
+    import signal
+    import threading
+
+    tok = MLMFakeTokenizer()
+    rows = pack_corpus(korean_ish_corpus(800), tok, max_length=16)
+    cfg = MLMConfig(
+        data_dir="unused", output_dir=str(tmp_path / "run"), max_length=16,
+        epochs=100, batch_size=1, grad_accum=2, lr=1e-3, logging_steps=10,
+        save_steps=0, eval_steps=0, val_fraction=0.0, dtype="float32")
+    mcfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = ModernBertForMaskedLM(mcfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32),
+                        jnp.ones((1, 16), jnp.int32))["params"]
+    trainer = MLMTrainer(cfg, model, params, rows, tok)
+    trainer.install_preemption_handler()
+    try:
+        threading.Timer(2.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+        state = trainer.train()
+        assert trainer._preempted
+        assert int(state.step) < trainer.total_steps
+        from splade_tpu.train.checkpoint import find_latest_checkpoint
+
+        assert find_latest_checkpoint(str(tmp_path / "run")) is not None
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+
+
 def test_mlm_final_model_loads_into_splade(tmp_path):
     """{"mlm": tree} final artifact is a valid model-only checkpoint for the
     V33 SPLADE trainer (pretrain -> fine-tune interop)."""
