@@ -35,6 +35,47 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def invert_to_postings(
+    doc_idx: Sequence[np.ndarray], doc_val: Sequence[np.ndarray],
+    vocab_size: int, n_postings: int,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """CSR docs -> impact-ordered truncated postings.
+
+    Returns (post_docs [V, P] int32, post_w [V, P] float32, n_truncated).
+    Fully vectorized: one lexsort of all postings by (term, -impact)."""
+    V, P = vocab_size, n_postings
+    n = len(doc_idx)
+    all_terms = np.concatenate(doc_idx)
+    all_vals = np.concatenate(doc_val)
+    all_docs = np.repeat(np.arange(n, dtype=np.int32),
+                         [len(x) for x in doc_idx])
+    order = np.lexsort((-all_vals, all_terms))  # by term, impact-desc
+    t_sorted = all_terms[order]
+    d_sorted = all_docs[order]
+    v_sorted = all_vals[order]
+    starts = np.searchsorted(t_sorted, np.arange(V, dtype=np.int64))
+    ends = np.searchsorted(t_sorted, np.arange(1, V + 1, dtype=np.int64))
+    df = (ends - starts).astype(np.int64)
+    kept = np.minimum(df, P)
+    post_docs = np.zeros((V, P), np.int32)   # pad doc 0 w/ weight 0
+    post_w = np.zeros((V, P), np.float32)
+    rows = np.repeat(np.arange(V, dtype=np.int64), kept)
+    offs = (np.arange(len(rows)) -
+            np.repeat(np.cumsum(kept) - kept, kept))
+    take = np.repeat(starts, kept) + offs
+    post_docs[rows, offs] = d_sorted[take]
+    post_w[rows, offs] = v_sorted[take]
+    return post_docs, post_w, int((df - kept).sum())
+
+
+def quantize_postings(post_w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-term int8 quantization. The first slot holds each term's max
+    impact (lists are impact-ordered). Returns (q [V,P] int8, scale [V] f32)."""
+    scale = np.maximum(post_w[:, 0], 1e-6) / 127.0
+    q = np.clip(np.round(post_w / scale[:, None]), 0, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
 class TpuPostingsIndex:
     """Impact-ordered truncated postings on device.
 
@@ -96,47 +137,16 @@ class TpuPostingsIndex:
         n = len(self.doc_ids)
         if n == 0:
             raise ValueError("empty index")
-        P, V = self.n_postings, self.vocab_size
-
-        # Invert the staged CSR: term -> (doc, weight) lists, via one
-        # concatenated sort by term id (vectorized; no per-term python loop).
-        all_terms = np.concatenate(self._doc_idx)
-        all_vals = np.concatenate(self._doc_val)
-        all_docs = np.repeat(
-            np.arange(n, dtype=np.int32),
-            [len(x) for x in self._doc_idx])
-        order = np.lexsort((-all_vals, all_terms))  # by term, impact-desc
-        t_sorted = all_terms[order]
-        d_sorted = all_docs[order]
-        v_sorted = all_vals[order]
-        starts = np.searchsorted(t_sorted, np.arange(V, dtype=np.int64))
-        ends = np.searchsorted(t_sorted, np.arange(1, V + 1, dtype=np.int64))
-        df = (ends - starts).astype(np.int64)
-        kept = np.minimum(df, P)
-        self.truncated_postings = int((df - kept).sum())
-
-        post_docs = np.zeros((V, P), np.int32)   # pad doc 0 w/ weight 0
-        post_w = np.zeros((V, P), np.float32)
-        # rows with any postings, filled by a flat scatter
-        rows = np.repeat(np.arange(V, dtype=np.int64), kept)
-        offs = (np.arange(len(rows)) -
-                np.repeat(np.cumsum(kept) - kept, kept))
-        take = np.repeat(starts, kept) + offs
-        post_docs[rows, offs] = d_sorted[take]
-        post_w[rows, offs] = v_sorted[take]
-
-        # int8 quantization with per-term scales (the first slot holds each
-        # term's max impact — lists are impact-ordered).
-        scale = np.maximum(post_w[:, 0], 1e-6) / 127.0
-        q = np.clip(np.round(post_w / scale[:, None]), 0, 127).astype(np.int8)
-
+        post_docs, post_w, self.truncated_postings = invert_to_postings(
+            self._doc_idx, self._doc_val, self.vocab_size, self.n_postings)
+        q, scale = quantize_postings(post_w)
         self._built = (jax.device_put(post_docs), jax.device_put(q),
-                       jax.device_put(scale.astype(np.float32)))
+                       jax.device_put(scale))
         self._make_search()
         logger.info(
-            "postings index: %d docs, %d terms with df>0, cap P=%d "
-            "(truncated %.2f%% of postings), %.0f MB on device",
-            n, int((df > 0).sum()), P,
+            "postings index: %d docs, cap P=%d (truncated %.2f%% of "
+            "postings), %.0f MB on device",
+            n, self.n_postings,
             100.0 * self.truncated_postings / max(self.nnz, 1),
             self.memory_bytes() / 1e6)
 
@@ -179,6 +189,7 @@ class TpuPostingsIndex:
 
         if self._built is None:
             self.build()
+        k = min(k, len(self.doc_ids))
         q_indices = np.asarray(q_indices, np.int32)
         q_values = np.asarray(q_values, np.float32)
         B, T = q_indices.shape
@@ -217,3 +228,135 @@ class TpuPostingsIndex:
             return 0
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize
                    for a in self._built)
+
+
+class MeshShardedPostingsIndex:
+    """Doc-sharded postings over a device mesh.
+
+    Device d holds the postings of its contiguous doc shard (local doc
+    numbering); a search runs every shard's gather+scatter+local-top-k in
+    parallel under GSPMD and merges the [D, B, k] partial results — the only
+    cross-device traffic. Capacity scales linearly with device count
+    (v5e-8: ~8M docs at P=2048).
+
+    Same truncation semantics as TpuPostingsIndex, applied per shard (the
+    cap is per term PER SHARD, so a D-way index truncates slightly less
+    than a single-device one with the same P).
+    """
+
+    def __init__(self, vocab_size: int, mesh, n_postings: int = 2048,
+                 query_top_t: int = 32, batch_pad: int = 8,
+                 approx: bool = True):
+        self.vocab_size = vocab_size
+        self.mesh = mesh
+        self.n_shards = int(mesh.devices.size)
+        self.n_postings = n_postings
+        self.query_top_t = query_top_t
+        self.batch_pad = batch_pad
+        self.approx = approx
+        self.doc_ids: List[str] = []
+        self.nnz = 0
+        self._doc_idx: List[np.ndarray] = []
+        self._doc_val: List[np.ndarray] = []
+        self._built = None
+        self._search_jit = None
+        self.truncated_postings = 0
+
+    add = TpuPostingsIndex.add
+    add_batch = TpuPostingsIndex.add_batch
+    add_csr = TpuPostingsIndex.add_csr
+
+    def build(self) -> None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = len(self.doc_ids)
+        if n == 0:
+            raise ValueError("empty index")
+        D = self.n_shards
+        per = -(-n // D)  # ceil: shard size
+        self._shard_size = per
+        docs_stack, w_stack, scale_stack = [], [], []
+        self.truncated_postings = 0
+        for d in range(D):
+            lo, hi = d * per, min((d + 1) * per, n)
+            if lo >= hi:  # empty tail shard
+                pd = np.zeros((self.vocab_size, self.n_postings), np.int32)
+                pw = np.zeros((self.vocab_size, self.n_postings), np.float32)
+                trunc = 0
+            else:
+                pd, pw, trunc = invert_to_postings(
+                    self._doc_idx[lo:hi], self._doc_val[lo:hi],
+                    self.vocab_size, self.n_postings)
+            q, scale = quantize_postings(pw)
+            docs_stack.append(pd)
+            w_stack.append(q)
+            scale_stack.append(scale)
+            self.truncated_postings += trunc
+        axis = self.mesh.axis_names[0]
+        sh3 = NamedSharding(self.mesh, P(axis, None, None))
+        sh2 = NamedSharding(self.mesh, P(axis, None))
+        self._built = (
+            jax.device_put(np.stack(docs_stack), sh3),
+            jax.device_put(np.stack(w_stack), sh3),
+            jax.device_put(np.stack(scale_stack), sh2),
+        )
+        self._make_search()
+        logger.info(
+            "mesh postings index: %d docs over %d shards (%d/shard), P=%d, "
+            "%.0f MB total",
+            n, D, per, self.n_postings, self.memory_bytes() / 1e6)
+
+    def _make_search(self) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        D = self.n_shards
+        per = self._shard_size
+        n = len(self.doc_ids)
+        approx = self.approx
+        axis = self.mesh.axis_names[0]
+
+        def search(post_docs, post_w, scale, q_idx, q_val, k):
+            B = q_idx.shape[0]
+            k_local = min(k, per)  # a shard can contribute at most `per` docs
+
+            def shard_search(pd, pw, sc):
+                rows_d = pd[q_idx]                          # [B, T, P]
+                rows_w = pw[q_idx].astype(jnp.bfloat16)
+                contrib = rows_w * (q_val * sc[q_idx])[:, :, None].astype(
+                    jnp.bfloat16)
+                acc = jnp.zeros((B, per), jnp.float32)
+                b_ix = jnp.broadcast_to(
+                    jnp.arange(B, dtype=jnp.int32)[:, None, None],
+                    rows_d.shape)
+                acc = acc.at[b_ix, rows_d].add(
+                    contrib.astype(jnp.float32), mode="drop")
+                if approx:
+                    return jax.lax.approx_max_k(acc, k_local)
+                return jax.lax.top_k(acc, k_local)
+
+            vals, idxs = jax.vmap(shard_search)(post_docs, post_w, scale)
+            # local -> global doc ids, then merge the D partial top-ks
+            idxs = idxs + (jnp.arange(D, dtype=jnp.int32) * per)[:, None, None]
+            vals = jnp.transpose(vals, (1, 0, 2)).reshape(B, D * k_local)
+            idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(B, D * k_local)
+            mvals, mpos = jax.lax.top_k(vals, min(k, D * k_local))
+            mids = jnp.take_along_axis(idxs, mpos, axis=1)
+            valid = mids < n
+            return jnp.where(valid, mvals, 0.0), jnp.where(valid, mids, 0)
+
+        rep = NamedSharding(self.mesh, P())
+        sh3 = NamedSharding(self.mesh, P(axis, None, None))
+        sh2 = NamedSharding(self.mesh, P(axis, None))
+        jitted = jax.jit(
+            search, static_argnums=5,
+            in_shardings=(sh3, sh3, sh2, rep, rep),
+            out_shardings=(rep, rep))
+        self._search_jit = lambda qi, qv, k: jitted(*self._built, qi, qv, k)
+
+    search_topk = TpuPostingsIndex.search_topk
+    search_vector = TpuPostingsIndex.search_vector
+    __len__ = TpuPostingsIndex.__len__
+    memory_bytes = TpuPostingsIndex.memory_bytes

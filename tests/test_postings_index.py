@@ -120,3 +120,59 @@ def test_approx_topk_mode(corpus):
 def test_empty_index_raises():
     with pytest.raises(ValueError):
         TpuPostingsIndex(V).build()
+
+
+def test_mesh_sharded_postings_matches_single(corpus):
+    """8-shard mesh index returns the same docs/scores as the single-device
+    index when the cap is lossless (per-shard caps can only keep MORE)."""
+    import jax
+    from splade_tpu.parallel.mesh import make_mesh
+    from splade_tpu.ops.postings_index import MeshShardedPostingsIndex
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    single = TpuPostingsIndex(V, n_postings=512, query_top_t=8, approx=False)
+    sharded = MeshShardedPostingsIndex(V, mesh, n_postings=512,
+                                       query_top_t=8, approx=False)
+    for i, (idx, val) in enumerate(corpus):
+        single.add(f"d{i}", idx, val)
+        sharded.add(f"d{i}", idx, val)
+    single.build()
+    sharded.build()
+    assert sharded.truncated_postings == 0
+
+    qi, qv = synth_queries(b=16)
+    got_s = single.search_topk(qi, qv, k=5)
+    got_m = sharded.search_topk(qi, qv, k=5)
+    exact = ExactSparseIndex(vocab_size=V)
+    for i, (idx, val) in enumerate(corpus):
+        exact.add(f"d{i}", idx, val)
+    for b, (s_res, m_res) in enumerate(zip(got_s, got_m)):
+        # per-shard int8 scales differ from the single-index scales, so
+        # near-ties may swap ranks — check scores against the f32 oracle
+        # instead of exact rank equality
+        ref = dict(exact.search_vector(qi[b], qv[b], k=len(corpus)))
+        assert s_res[0][0] == m_res[0][0]  # top-1 agrees
+        for doc, score in m_res:
+            assert score == pytest.approx(ref[doc], rel=0.05, abs=0.02)
+        # the two top-5 sets differ at most by one near-tie swap
+        assert len({d for d, _ in s_res} & {d for d, _ in m_res}) >= 4
+
+
+def test_mesh_sharded_ragged_tail_shard(corpus):
+    """Doc count not divisible by the shard count: the tail shard is short
+    and padded doc slots never surface in results."""
+    from splade_tpu.parallel.mesh import make_mesh
+    from splade_tpu.ops.postings_index import MeshShardedPostingsIndex
+
+    mesh = make_mesh()
+    sharded = MeshShardedPostingsIndex(V, mesh, n_postings=512,
+                                       query_top_t=8, approx=False)
+    for i, (idx, val) in enumerate(corpus[:43]):  # 43 % 8 != 0
+        sharded.add(f"d{i}", idx, val)
+    sharded.build()
+    qi, qv = synth_queries(b=8)
+    for res in sharded.search_topk(qi, qv, k=10):
+        for doc, score in res:
+            assert doc in {f"d{i}" for i in range(43)}
+            assert score > 0
