@@ -61,20 +61,14 @@ def main() -> None:
         qv = (np.abs(rng.normal(size=(R, B, T))).astype(np.float32) + 0.1)
         return jnp.asarray(qi), jnp.asarray(qv)
 
+    from splade_tpu.ops.postings_index import postings_score_topk
+
     @jax.jit
     def sweep(post_docs, post_w, scale, q_idx, q_val):
         def body(acc0, q):
             qi, qv = q
-            rows_d = post_docs[qi]
-            rows_w = post_w[qi].astype(jnp.bfloat16)
-            contrib = rows_w * (qv * scale[qi])[:, :, None].astype(jnp.bfloat16)
-            acc = jnp.zeros((B, n), jnp.float32)
-            b_ix = jnp.broadcast_to(
-                jnp.arange(B, dtype=jnp.int32)[:, None, None], rows_d.shape)
-            acc = acc.at[b_ix, rows_d].add(contrib.astype(jnp.float32),
-                                           mode="drop")
-            vals = (jax.lax.approx_max_k(acc, K) if approx
-                    else jax.lax.top_k(acc, K))[0]
+            vals, _ = postings_score_topk(post_docs, post_w, scale, qi, qv,
+                                          K, n, approx)
             return acc0 + vals.sum(), None
 
         out, _ = jax.lax.scan(body, jnp.float32(0.0), (q_idx, q_val))

@@ -76,6 +76,29 @@ def quantize_postings(post_w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale.astype(np.float32)
 
 
+def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
+                        n_docs: int, approx: bool):
+    """The one postings scoring kernel: gather the query terms' rows,
+    int8-dequantized bf16 contributions, scatter-add into a [B, n_docs]
+    accumulator, partial top-k. Shared by TpuPostingsIndex.search, the
+    serving engine's fused path, and the QPS bench — fix scoring here once.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rows_d = post_docs[q_idx]                       # [B, T, P] gather
+    rows_w = post_w[q_idx].astype(jnp.bfloat16)
+    contrib = rows_w * (q_val * scale[q_idx])[:, :, None].astype(jnp.bfloat16)
+    B = q_idx.shape[0]
+    acc = jnp.zeros((B, n_docs), jnp.float32)
+    b_ix = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None, None], rows_d.shape)
+    acc = acc.at[b_ix, rows_d].add(contrib.astype(jnp.float32), mode="drop")
+    if approx:
+        return jax.lax.approx_max_k(acc, k)
+    return jax.lax.top_k(acc, k)
+
+
 class TpuPostingsIndex:
     """Impact-ordered truncated postings on device.
 
@@ -161,21 +184,8 @@ class TpuPostingsIndex:
         # Arrays are arguments, not closures (closure constants ship inside
         # the remote compile request — HTTP 413 at ~1 GB).
         def search(post_docs, post_w, scale, q_idx, q_val, k):
-            B, T = q_idx.shape
-            rows_d = post_docs[q_idx]               # [B, T, P] gather
-            rows_w = post_w[q_idx].astype(jnp.bfloat16)
-            term_scale = scale[q_idx]               # [B, T]
-            contrib = (rows_w *
-                       (q_val * term_scale)[:, :, None].astype(jnp.bfloat16))
-            acc = jnp.zeros((B, n), jnp.float32)
-            b_ix = jnp.arange(B, dtype=jnp.int32)[:, None, None]
-            b_ix = jnp.broadcast_to(b_ix, rows_d.shape)
-            acc = acc.at[b_ix, rows_d].add(
-                contrib.astype(jnp.float32), mode="drop",
-                unique_indices=False, indices_are_sorted=False)
-            if approx:
-                return jax.lax.approx_max_k(acc, k)
-            return jax.lax.top_k(acc, k)
+            return postings_score_topk(post_docs, post_w, scale, q_idx,
+                                       q_val, k, n, approx)
 
         jitted = jax.jit(search, static_argnums=5)
         self._search_jit = lambda qi, qv, k: jitted(*self._built, qi, qv, k)
@@ -230,7 +240,7 @@ class TpuPostingsIndex:
                    for a in self._built)
 
 
-class MeshShardedPostingsIndex:
+class MeshShardedPostingsIndex(TpuPostingsIndex):
     """Doc-sharded postings over a device mesh.
 
     Device d holds the postings of its contiguous doc shard (local doc
@@ -241,30 +251,18 @@ class MeshShardedPostingsIndex:
 
     Same truncation semantics as TpuPostingsIndex, applied per shard (the
     cap is per term PER SHARD, so a D-way index truncates slightly less
-    than a single-device one with the same P).
+    than a single-device one with the same P). Subclassing matters: callers
+    (e.g. the serving engine) route on ``isinstance(x, TpuPostingsIndex)``.
     """
 
     def __init__(self, vocab_size: int, mesh, n_postings: int = 2048,
                  query_top_t: int = 32, batch_pad: int = 8,
                  approx: bool = True):
-        self.vocab_size = vocab_size
+        super().__init__(vocab_size, n_postings=n_postings,
+                         query_top_t=query_top_t, batch_pad=batch_pad,
+                         approx=approx)
         self.mesh = mesh
         self.n_shards = int(mesh.devices.size)
-        self.n_postings = n_postings
-        self.query_top_t = query_top_t
-        self.batch_pad = batch_pad
-        self.approx = approx
-        self.doc_ids: List[str] = []
-        self.nnz = 0
-        self._doc_idx: List[np.ndarray] = []
-        self._doc_val: List[np.ndarray] = []
-        self._built = None
-        self._search_jit = None
-        self.truncated_postings = 0
-
-    add = TpuPostingsIndex.add
-    add_batch = TpuPostingsIndex.add_batch
-    add_csr = TpuPostingsIndex.add_csr
 
     def build(self) -> None:
         import jax
@@ -323,19 +321,8 @@ class MeshShardedPostingsIndex:
             k_local = min(k, per)  # a shard can contribute at most `per` docs
 
             def shard_search(pd, pw, sc):
-                rows_d = pd[q_idx]                          # [B, T, P]
-                rows_w = pw[q_idx].astype(jnp.bfloat16)
-                contrib = rows_w * (q_val * sc[q_idx])[:, :, None].astype(
-                    jnp.bfloat16)
-                acc = jnp.zeros((B, per), jnp.float32)
-                b_ix = jnp.broadcast_to(
-                    jnp.arange(B, dtype=jnp.int32)[:, None, None],
-                    rows_d.shape)
-                acc = acc.at[b_ix, rows_d].add(
-                    contrib.astype(jnp.float32), mode="drop")
-                if approx:
-                    return jax.lax.approx_max_k(acc, k_local)
-                return jax.lax.top_k(acc, k_local)
+                return postings_score_topk(pd, pw, sc, q_idx, q_val,
+                                           k_local, per, approx)
 
             vals, idxs = jax.vmap(shard_search)(post_docs, post_w, scale)
             # local -> global doc ids, then merge the D partial top-ks
@@ -356,7 +343,3 @@ class MeshShardedPostingsIndex:
             out_shardings=(rep, rep))
         self._search_jit = lambda qi, qv, k: jitted(*self._built, qi, qv, k)
 
-    search_topk = TpuPostingsIndex.search_topk
-    search_vector = TpuPostingsIndex.search_vector
-    __len__ = TpuPostingsIndex.__len__
-    memory_bytes = TpuPostingsIndex.memory_bytes

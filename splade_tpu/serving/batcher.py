@@ -43,6 +43,7 @@ class DynamicBatcher:
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()
         self.n_batches = 0
         self.n_items = 0
         self._latencies: List[float] = []  # rolling window, seconds
@@ -52,18 +53,23 @@ class DynamicBatcher:
 
     # ---------------------------------------------------------------- API
     def submit(self, payload: Any) -> Future:
-        if self._closed:
-            raise RuntimeError("batcher is closed")
-        fut: Future = Future()
-        self._q.put((payload, fut, time.perf_counter()))
+        # The closed-check and enqueue are one atomic section vs close():
+        # otherwise a payload can land behind the shutdown sentinel on a
+        # dead queue and its future would never resolve.
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            fut: Future = Future()
+            self._q.put((payload, fut, time.perf_counter()))
         return fut
 
     def __call__(self, payload: Any, timeout: float = 60.0) -> Any:
         return self.submit(payload).result(timeout=timeout)
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)
         self._worker.join(timeout=5)
 
     def stats(self) -> dict:

@@ -73,25 +73,16 @@ def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
     import jax
     import jax.numpy as jnp
 
+    from splade_tpu.ops.postings_index import postings_score_topk
+
     def fused(p, post_docs, post_w, term_scale, ids, mask, k):
         repr_, _ = model.apply({"params": p}, ids, mask)    # [B, V]
         repr_ = repr_.astype(jnp.float32)
         if banned is not None:
             repr_ = jnp.where(banned[None, :], 0.0, repr_)
         q_val, q_idx = jax.lax.top_k(repr_, top_t)           # [B, T]
-        rows_d = post_docs[q_idx]                            # [B, T, P]
-        rows_w = post_w[q_idx].astype(jnp.bfloat16)
-        contrib = rows_w * (q_val * term_scale[q_idx])[:, :, None].astype(
-            jnp.bfloat16)
-        B = ids.shape[0]
-        acc = jnp.zeros((B, n_docs), jnp.float32)
-        b_ix = jnp.broadcast_to(
-            jnp.arange(B, dtype=jnp.int32)[:, None, None], rows_d.shape)
-        acc = acc.at[b_ix, rows_d].add(contrib.astype(jnp.float32),
-                                       mode="drop")
-        if approx:
-            return jax.lax.approx_max_k(acc, k)
-        return jax.lax.top_k(acc, k)
+        return postings_score_topk(post_docs, post_w, term_scale, q_idx,
+                                   q_val, k, n_docs, approx)
 
     return fused
 
@@ -138,16 +129,28 @@ class ServingEngine:
         from splade_tpu.ops.postings_index import TpuPostingsIndex
 
         self._postings = isinstance(index, TpuPostingsIndex)
+        self._model = model
+        self._banned = banned
         if self._postings:
-            if index._built is None:
-                index.build()
-            fused = make_fused_postings_search_fn(
-                model, banned, top_t=index.query_top_t, n_docs=len(index),
-                approx=index.approx)
+            self._build_postings_fused()
         else:
             fused = make_fused_search_fn(
                 model, banned, query_top_k,
                 is_int8=getattr(index, "quantize_int8", False))
+            self._fused_jit = jax.jit(fused, static_argnums=(6,))
+
+    def _build_postings_fused(self) -> None:
+        """(Re)build the fused postings executable. The accumulator width is
+        the doc count, a static shape — so adding documents to the index
+        requires re-making the jit, not just rebuilding the index."""
+        import jax
+
+        if self.index._built is None:
+            self.index.build()
+        self._postings_n = len(self.index)
+        fused = make_fused_postings_search_fn(
+            self._model, self._banned, top_t=self.index.query_top_t,
+            n_docs=self._postings_n, approx=self.index.approx)
         self._fused_jit = jax.jit(fused, static_argnums=(6,))
 
     # ------------------------------------------------------------- search
@@ -177,6 +180,9 @@ class ServingEngine:
         ids = jnp.asarray(enc["input_ids"].astype(np.int32))
         mask = jnp.asarray(enc["attention_mask"].astype(np.int32))
         if self._postings:
+            if (self.index._built is None
+                    or len(self.index) != self._postings_n):
+                self._build_postings_fused()  # index mutated since build
             post_docs, post_w, term_scale = self.index._built
             vals, idxs = self._fused_jit(
                 self.params, post_docs, post_w, term_scale, ids, mask, k_eff)

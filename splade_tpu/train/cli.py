@@ -145,8 +145,13 @@ def main(argv: Optional[list] = None) -> int:
     if ckpt:
         trainer.state, meta = load_checkpoint(ckpt, trainer.state)
         if meta["full_resume"]:
-            trainer.start_epoch = meta["epoch"] + 1
-        logger.info("restored %s (full_resume=%s)", ckpt, meta["full_resume"])
+            # Position from the step counter (mid-epoch exact resume — a
+            # preemption checkpoint does not skip the rest of its epoch).
+            trainer.start_epoch = min(
+                int(trainer.state.step) // trainer.steps_per_epoch + 1,
+                cfg.training.num_epochs)
+        logger.info("restored %s (full_resume=%s, start_epoch=%d)",
+                    ckpt, meta["full_resume"], trainer.start_epoch)
 
     t0 = time.time()
     state = trainer.train()

@@ -369,17 +369,9 @@ class MLMTrainer:
         self._preempted = False
 
     def install_preemption_handler(self) -> None:
-        """SIGTERM/SIGINT -> checkpoint at the next step boundary and exit
-        cleanly (same contract as Trainer.install_preemption_handler)."""
-        import signal
+        from splade_tpu.train.preemption import install_preemption_handler
 
-        def handler(signum, frame):
-            logger.warning("signal %d: checkpointing at the next step boundary",
-                           signum)
-            self._preempted = True
-
-        signal.signal(signal.SIGTERM, handler)
-        signal.signal(signal.SIGINT, handler)
+        install_preemption_handler(self)
 
     def _epoch_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.cfg.seed + epoch)
@@ -430,8 +422,16 @@ class MLMTrainer:
         tokens_per_step = self.global_batch * self.accum * cfg.max_length
         from splade_tpu.train.checkpoint import save_checkpoint
 
+        last_epoch = self.start_epoch
         for epoch in range(self.start_epoch, cfg.epochs + 1):
-            for batch in self._epoch_batches(epoch):
+            # Exact mid-epoch resume: batch order is a pure function of
+            # (seed, epoch) and masking RNG is step-folded, so skipping the
+            # consumed steps reproduces the uninterrupted run bitwise.
+            done_in_epoch = (int(self.state.step)
+                             - (epoch - 1) * self.steps_per_epoch)
+            for i, batch in enumerate(self._epoch_batches(epoch)):
+                if i < done_in_epoch:
+                    continue
                 gstep = int(self.state.step)
                 if self._preempted or (cfg.max_steps and gstep >= cfg.max_steps):
                     break
@@ -467,11 +467,12 @@ class MLMTrainer:
                     save_checkpoint(cfg.output_dir, self.state, self.cfg,
                                     epoch=epoch,
                                     best=self.tracker.best_value)
+            last_epoch = epoch
             if self._preempted or (
                     cfg.max_steps and int(self.state.step) >= cfg.max_steps):
                 break
         save_checkpoint(self.cfg.output_dir, self.state, self.cfg,
-                        epoch=self.cfg.epochs, best=self.tracker.best_value)
+                        epoch=last_epoch, best=self.tracker.best_value)
         self.tracker.summary()
         self.writer.close()
         return self.state
@@ -557,7 +558,12 @@ def main(argv: Optional[list] = None) -> int:
         ckpt = find_latest_checkpoint(cfg.output_dir)
     if ckpt:
         trainer.state, meta = load_checkpoint(ckpt, trainer.state)
-        logger.info("restored %s (full_resume=%s)", ckpt, meta["full_resume"])
+        if meta["full_resume"]:
+            trainer.start_epoch = min(
+                int(trainer.state.step) // trainer.steps_per_epoch + 1,
+                cfg.epochs)
+        logger.info("restored %s (full_resume=%s, start_epoch=%d)",
+                    ckpt, meta["full_resume"], trainer.start_epoch)
 
     t0 = time.time()
     state = trainer.train()

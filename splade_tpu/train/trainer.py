@@ -213,19 +213,9 @@ class Trainer:
         self._preempted = False
 
     def install_preemption_handler(self) -> None:
-        """SIGTERM/SIGINT -> finish the in-flight step, checkpoint, exit
-        cleanly. TPU pod preemptions deliver SIGTERM with a grace window;
-        the reference has no equivalent (a killed run loses everything since
-        the last 5-epoch checkpoint). Main thread only."""
-        import signal
+        from splade_tpu.train.preemption import install_preemption_handler
 
-        def handler(signum, frame):
-            logger.warning("signal %d: checkpointing at the next step boundary",
-                           signum)
-            self._preempted = True
-
-        signal.signal(signal.SIGTERM, handler)
-        signal.signal(signal.SIGINT, handler)
+        install_preemption_handler(self)
 
     def _macro_batches(self, epoch: int) -> Iterable[Dict[str, np.ndarray]]:
         self.loader.set_epoch(epoch)
@@ -241,7 +231,15 @@ class Trainer:
         last: Dict[str, float] = {}
         t0 = time.time()
         samples = 0
-        for macro in self._macro_batches(epoch):
+        # Exact mid-epoch resume: the loader order is a pure function of
+        # (seed, epoch) and the step is RNG-free, so skipping the macros
+        # already consumed (per the restored step counter) reproduces the
+        # uninterrupted run bitwise. The reference can only resume at epoch
+        # boundaries (train_v33_ddp.py:604-619).
+        done_in_epoch = int(self.state.step) - (epoch - 1) * self.steps_per_epoch
+        for i, macro in enumerate(self._macro_batches(epoch)):
+            if i < done_in_epoch:
+                continue
             if self._preempted or (
                     cfg.max_steps and int(self.state.step) >= cfg.max_steps):
                 break

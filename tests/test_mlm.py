@@ -259,3 +259,56 @@ def test_mlm_config_env_and_yaml(tmp_path, monkeypatch):
     assert cfg.batch_size == 13 and cfg.seed == 99
     with pytest.raises(ValueError):
         MLMConfig.load(None, {"nope": 1})
+
+
+def test_mlm_mid_epoch_resume_is_bitwise_exact(tmp_path):
+    """step-derived resume position reproduces the uninterrupted run bitwise
+    (code-review finding: --resume used to replay from epoch 1)."""
+    from jax.flatten_util import ravel_pytree
+    from splade_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    tok = MLMFakeTokenizer()
+    rows = pack_corpus(korean_ish_corpus(800), tok, max_length=16)
+    mcfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = ModernBertForMaskedLM(mcfg)
+    params0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32),
+                         jnp.ones((1, 16), jnp.int32))["params"]
+
+    host_params = jax.tree_util.tree_map(np.asarray, params0)
+
+    def mk(out, max_steps):
+        cfg = MLMConfig(
+            data_dir="unused", output_dir=str(out), max_length=16,
+            epochs=2, batch_size=1, grad_accum=2, lr=1e-3, logging_steps=100,
+            save_steps=0, eval_steps=0, val_fraction=0.0, dtype="float32",
+            max_steps=max_steps)
+        # fresh device copy per trainer: the jitted step donates params
+        fresh = jax.tree_util.tree_map(jnp.asarray, host_params)
+        return MLMTrainer(cfg, model, fresh, rows, tok)
+
+    probe = mk(tmp_path / "probe", 0)
+    spe = probe.steps_per_epoch
+    assert spe >= 2
+    mid = spe // 2 + 1  # inside epoch 1 (or boundary when spe==2)
+    target = spe + 1    # ends inside epoch 2
+
+    # all trainers share max_steps=target at init so the LR schedule
+    # (a function of total_steps) is identical; the interrupted run stops
+    # early via a post-init override
+    t_full = mk(tmp_path / "a", target)
+    full = t_full.train()
+
+    t_half = mk(tmp_path / "b", target)
+    t_half.cfg.max_steps = mid
+    half = t_half.train()
+    ckpt = save_checkpoint(str(tmp_path / "b"), half, epoch=1)
+
+    t_res = mk(tmp_path / "c", target)
+    t_res.state, meta = load_checkpoint(ckpt, t_res.state)
+    t_res.start_epoch = min(int(t_res.state.step) // spe + 1, 2)
+    res = t_res.train()
+    assert int(res.step) == int(full.step) == target
+
+    f1, _ = ravel_pytree(full.params)
+    f2, _ = ravel_pytree(res.params)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))

@@ -272,3 +272,34 @@ def test_server_input_validation(http_server):
     assert _req(http_server, "POST", "/search", {"queries": [1, 2]})[0] == 400
     assert _req(http_server, "POST", "/encode", {"texts": "no"})[0] == 400
     assert _req(http_server, "GET", "/nope")[0] == 404
+
+
+def test_postings_engine_survives_index_mutation():
+    """Adding documents after engine construction must not crash or serve a
+    stale doc count (code-review finding: _built unpacking of None)."""
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuPostingsIndex(VOCAB, n_postings=64, query_top_t=16,
+                             approx=False)
+    docs = [(f"doc{i}", f"문서 {i} 가나다") for i in range(10)]
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    engine = ServingEngine(model, params, tok, index, query_top_k=16,
+                           query_max_length=16)
+    assert engine.num_docs == 10
+    assert engine.search("문서 3", k=3)
+
+    unique_text = "희귀한 신규 텍스트입니다"
+    (vec,) = enc.encode_documents([unique_text])
+    index.add("newdoc", *vec)
+    hits = engine.search(unique_text, k=3)  # must rebuild, not crash
+    assert engine.num_docs == 11
+    assert hits[0][0] == "newdoc"  # the new doc is retrievable

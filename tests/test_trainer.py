@@ -338,3 +338,37 @@ def test_preemption_signal_checkpoints_and_stops(tmp_path):
     assert meta["full_resume"] and meta["step"] == int(state.step)
     signal.signal(signal.SIGTERM, signal.SIG_DFL)
     signal.signal(signal.SIGINT, signal.default_int_handler)
+
+
+def test_mid_epoch_resume_is_bitwise_exact(tmp_path):
+    """Preempt-style checkpoint mid-epoch + resume == uninterrupted run,
+    bitwise (the code-review found epoch-boundary resume skipped the rest
+    of the interrupted epoch)."""
+    from splade_tpu.train.checkpoint import save_checkpoint
+
+    # uninterrupted: 6 steps across two 4-step epochs
+    t_full = _mini_trainer(tmp_path / "a", epochs=2)
+    assert t_full.steps_per_epoch == 4
+    t_full.cfg.training.max_steps = 6
+    full_state = t_full.train()
+    assert int(full_state.step) == 6
+
+    # interrupted at step 3 (mid-epoch-1), checkpoint, fresh trainer resumes
+    t_half = _mini_trainer(tmp_path / "b", epochs=2)
+    t_half.cfg.training.max_steps = 3
+    half = t_half.train()
+    ckpt = save_checkpoint(str(tmp_path / "b"), half, epoch=1)
+
+    t_res = _mini_trainer(tmp_path / "c", epochs=2)
+    t_res.state, meta = load_checkpoint(ckpt, t_res.state)
+    assert meta["full_resume"] and int(t_res.state.step) == 3
+    t_res.start_epoch = min(
+        int(t_res.state.step) // t_res.steps_per_epoch + 1, 2)
+    assert t_res.start_epoch == 1  # resumes INSIDE epoch 1, not at epoch 2
+    t_res.cfg.training.max_steps = 6
+    res_state = t_res.train()
+    assert int(res_state.step) == 6
+
+    f1, _ = ravel_pytree(full_state.params)
+    f2, _ = ravel_pytree(res_state.params)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))

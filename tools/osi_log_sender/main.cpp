@@ -194,17 +194,33 @@ int http_post(const Url& u, const std::string& path, const osi::SignedRequest& s
 }
 
 // HTTPS transport via the system curl binary (headers already signed here).
+// The real HTTP status is captured through a temp file: curl exits 0 even on
+// 4xx/5xx, so trusting the exit code alone would report rejected batches
+// (e.g. 403 on expired credentials) as sent.
 int https_post_via_curl(const std::string& url, const osi::SignedRequest& sig,
                         const std::string& body) {
+  char tmpl[] = "/tmp/osi-status-XXXXXX";
+  int tmpfd = mkstemp(tmpl);
+  if (tmpfd < 0) return -1;
+  close(tmpfd);
   std::string cmd = "curl -s -o /dev/null -w '%{http_code}' -X POST --max-time 30";
   for (const auto& [k, v] : sig.headers)
     if (k != "host") cmd += " -H '" + k + ": " + v + "'";
-  cmd += " --data-binary @- '" + url + "'";
+  cmd += " --data-binary @- '" + url + "' > " + tmpl;
   FILE* p = popen(cmd.c_str(), "w");
-  if (!p) return -1;
+  if (!p) {
+    unlink(tmpl);
+    return -1;
+  }
   std::fwrite(body.data(), 1, body.size(), p);
   int rc = pclose(p);
-  return rc == 0 ? 200 : -1;  // curl exit 0 ⇒ transport OK (status printed to /dev/null)
+  int status = -1;
+  if (FILE* f = std::fopen(tmpl, "r")) {
+    if (std::fscanf(f, "%d", &status) != 1) status = -1;
+    std::fclose(f);
+  }
+  unlink(tmpl);
+  return rc == 0 ? status : -1;
 }
 
 int self_test() {
