@@ -7,7 +7,7 @@ CHECKPOINT ?= $(OUTPUT)/final_model
 
 .PHONY: help test test-fast train train-resume train-debug \
         benchmark-ko-strategyqa benchmark-miracl-ko benchmark-mrtydi-ko \
-        benchmark-triplet-val bench bench-qps export-hf idf-tool osi-log-sender \
+        benchmark-triplet-val bench bench-qps export-hf idf-tool osi-log-sender serve \
         preprocess profile clean
 
 help:
@@ -77,6 +77,10 @@ osi-log-sender:
 
 profile:
 	$(PYTHON) scripts/profile_train_step.py
+
+serve:
+	$(PYTHON) -m splade_tpu.serving.server --checkpoint $(CHECKPOINT) \
+	    --docs $(DOCS) --port 8080
 
 clean:
 	rm -rf outputs/ .pytest_cache
