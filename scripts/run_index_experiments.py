@@ -110,6 +110,32 @@ def main():
             print(f"exp3 prune={prune} expansion={exp}: recall {np.mean(recs):.4f}")
     results["two_phase_sweep"] = tp
 
+    # 4) postings-list truncation sweep (reference: SEISMIC n_postings —
+    # the posting-length cap vs recall trade, neural_sparse_search_aws.py
+    # parameter sweep). Measured against the same exact reference.
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+
+    ps = {}
+    df_cap = max(int(args.docs * 54 / args.vocab * 4), 8)  # ~4x mean df
+    for n_post in sorted({8, 32, df_cap, args.docs}):
+        pidx = TpuPostingsIndex(args.vocab, n_postings=min(n_post, args.docs),
+                                query_top_t=33, approx=False)
+        pidx.add_batch(doc_ids, docs)
+        pidx.build()
+        recs = [
+            recall_vs_exact(pidx.search_vector(qi, qv, k=args.k),
+                            exact_results[i], args.k)
+            for i, (qi, qv) in enumerate(queries)]
+        ps[str(n_post)] = {
+            "recall@k_vs_exact": float(np.mean(recs)),
+            "truncated_pct": round(
+                100.0 * pidx.truncated_postings / max(pidx.nnz, 1), 2),
+            "memory_mb": round(pidx.memory_bytes() / 1e6, 1),
+        }
+        print(f"exp4 n_postings={n_post}: recall {np.mean(recs):.4f} "
+              f"({ps[str(n_post)]['truncated_pct']}% truncated)")
+    results["postings_cap_sweep"] = ps
+
     out = Path(args.output)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(results, indent=2))
