@@ -28,6 +28,9 @@ def main() -> None:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--exact-topk", action="store_true",
                    help="lax.top_k instead of approx_max_k")
+    p.add_argument("--rescore", type=int, default=0,
+                   help=">0: two-phase — short-cap candidates (this many) "
+                        "re-scored exactly from the doc-major CSR")
     args = p.parse_args()
 
     import jax
@@ -39,7 +42,8 @@ def main() -> None:
     rng = np.random.default_rng(0)
     t0 = time.time()
     idx = TpuPostingsIndex(V, n_postings=args.n_postings,
-                           query_top_t=args.top_t, approx=not args.exact_topk)
+                           query_top_t=args.top_t, approx=not args.exact_topk,
+                           rescore_candidates=args.rescore)
     # bulk synthetic corpus (vectorized; Zipf-ish term popularity)
     popularity = rng.zipf(1.3, size=args.docs * args.nnz_doc) % V
     all_idx = popularity.astype(np.int32).reshape(args.docs, args.nnz_doc)
@@ -61,21 +65,34 @@ def main() -> None:
         qv = (np.abs(rng.normal(size=(R, B, T))).astype(np.float32) + 0.1)
         return jnp.asarray(qi), jnp.asarray(qv)
 
-    from splade_tpu.ops.postings_index import postings_score_topk
+    from splade_tpu.ops.postings_index import (
+        postings_score_topk, postings_two_phase_topk)
+
+    # doc-major arrays are ARGUMENTS (closure constants ship inside the
+    # remote compile request); zero-size placeholders when single-phase.
+    doc_major = (idx._doc_major if args.rescore else
+                 (jnp.zeros((0, 0), jnp.int32), jnp.zeros((0, 0), jnp.int8),
+                  jnp.zeros((0,), jnp.float32)))
 
     @jax.jit
-    def sweep(post_docs, post_w, scale, q_idx, q_val):
+    def sweep(post_docs, post_w, scale, d_terms, d_vals, d_scale,
+              q_idx, q_val):
         def body(acc0, q):
             qi, qv = q
-            vals, _ = postings_score_topk(post_docs, post_w, scale, qi, qv,
-                                          K, n, approx)
+            if args.rescore:
+                vals, _ = postings_two_phase_topk(
+                    post_docs, post_w, scale, d_terms, d_vals, d_scale,
+                    qi, qv, K, n, V, min(args.rescore, n), approx)
+            else:
+                vals, _ = postings_score_topk(post_docs, post_w, scale, qi,
+                                              qv, K, n, approx)
             return acc0 + vals.sum(), None
 
         out, _ = jax.lax.scan(body, jnp.float32(0.0), (q_idx, q_val))
         return out
 
     qi, qv = qset()
-    float(sweep(post_docs, post_w, scale, qi, qv))  # compile+warm
+    float(sweep(post_docs, post_w, scale, *doc_major, qi, qv))  # compile+warm
     # NOTE: timing must force a scalar FETCH — on the remote-execution
     # backend block_until_ready can return before the work completes.
     times = []
@@ -83,7 +100,7 @@ def main() -> None:
         qi, qv = qset()
         jax.block_until_ready((qi, qv))
         t0 = time.time()
-        float(sweep(post_docs, post_w, scale, qi, qv))
+        float(sweep(post_docs, post_w, scale, *doc_major, qi, qv))
         times.append(time.time() - t0)
     dt = min(times)
     qps = R * B / dt
@@ -101,6 +118,7 @@ def main() -> None:
         "qps": round(qps, 1),
         "ms_per_query": round(1e3 / qps, 4),
         "topk": "approx" if approx else "exact",
+        "rescore_candidates": args.rescore,
         "runs_s": [round(t, 3) for t in times],
     }))
 

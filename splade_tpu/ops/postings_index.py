@@ -99,6 +99,27 @@ def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
     return jax.lax.top_k(acc, k)
 
 
+def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
+                            d_scale, q_idx, q_val, k: int, n_docs: int,
+                            vocab_size: int, n_candidates: int, approx: bool):
+    """Two-phase kernel: short-cap postings rank ``n_candidates``, then the
+    doc-major CSR re-scores them exactly. Shared by the index and benches."""
+    import jax
+    import jax.numpy as jnp
+
+    B = q_idx.shape[0]
+    _, cand = postings_score_topk(post_docs, post_w, scale, q_idx, q_val,
+                                  n_candidates, n_docs, approx)   # [B, C]
+    qd = jnp.zeros((B, vocab_size + 1), jnp.float32)  # col V: pad terms -> 0
+    qd = qd.at[jnp.arange(B)[:, None], q_idx].add(q_val)
+    terms = d_terms[cand]                                          # [B, C, M]
+    w = d_vals[cand].astype(jnp.float32) * d_scale[cand][:, :, None]
+    qv = qd[jnp.arange(B)[:, None, None], terms]                   # [B, C, M]
+    scores = (qv * w).sum(-1)                                      # [B, C]
+    vals, pos = jax.lax.top_k(scores, min(k, n_candidates))
+    return vals, jnp.take_along_axis(cand, pos, axis=1)
+
+
 class TpuPostingsIndex:
     """Impact-ordered truncated postings on device.
 
@@ -114,18 +135,29 @@ class TpuPostingsIndex:
         query_top_t: int = 32,
         batch_pad: int = 8,
         approx: bool = True,
+        rescore_candidates: int = 0,
     ):
+        """rescore_candidates > 0 enables two-phase search: phase 1 ranks
+        ``rescore_candidates`` candidates from the (short-cap) postings,
+        phase 2 re-scores them EXACTLY from a doc-major CSR kept on device.
+        The scatter — the single-phase bottleneck — then only runs over the
+        short caps (use n_postings≈64), while final scores are exact, so
+        recall is limited only by candidate coverage. This is the SEISMIC
+        two-level design (reference: neural_sparse_search_aws.py's
+        n_postings/heap_factor sweep) mapped to XLA."""
         self.vocab_size = vocab_size
         self.n_postings = n_postings
         self.query_top_t = query_top_t
         self.batch_pad = batch_pad
         self.approx = approx
+        self.rescore_candidates = rescore_candidates
         self.doc_ids: List[str] = []
         self.nnz = 0
         # staged CSR (host): per-doc arrays
         self._doc_idx: List[np.ndarray] = []
         self._doc_val: List[np.ndarray] = []
         self._built = None  # (post_docs [V,P] i32, post_w [V,P] i8, scale [V] f32)
+        self._doc_major = None  # (terms [N,M] i32, vals [N,M] i8, scale [N] f32)
         self._search_jit = None
         self.truncated_postings = 0  # dropped by the n_postings cap
 
@@ -165,6 +197,8 @@ class TpuPostingsIndex:
         q, scale = quantize_postings(post_w)
         self._built = (jax.device_put(post_docs), jax.device_put(q),
                        jax.device_put(scale))
+        if self.rescore_candidates:
+            self._doc_major = self._build_doc_major()
         self._make_search()
         logger.info(
             "postings index: %d docs, cap P=%d (truncated %.2f%% of "
@@ -173,6 +207,29 @@ class TpuPostingsIndex:
             100.0 * self.truncated_postings / max(self.nnz, 1),
             self.memory_bytes() / 1e6)
 
+    def _build_doc_major(self):
+        """Doc-major CSR for exact re-scoring: [N, M] term ids (pad id = V,
+        which maps to a zero column in the query lookup), int8 weights with
+        per-doc scales. O(total nnz) memory — 270 MB at N=10^6, nnz 54."""
+        import jax
+
+        n = len(self.doc_ids)
+        lens = [len(x) for x in self._doc_idx]
+        M = max(lens)
+        if min(lens) == M:  # uniform rows (add_csr bulk path): one stack
+            terms = np.stack(self._doc_idx).astype(np.int32)
+            vals = np.stack(self._doc_val).astype(np.float32)
+        else:
+            terms = np.full((n, M), self.vocab_size, np.int32)
+            vals = np.zeros((n, M), np.float32)
+            for i, (ti, tv) in enumerate(zip(self._doc_idx, self._doc_val)):
+                terms[i, :len(ti)] = ti
+                vals[i, :len(tv)] = tv
+        dscale = np.maximum(np.abs(vals).max(axis=1), 1e-6) / 127.0
+        q = np.clip(np.round(vals / dscale[:, None]), -127, 127).astype(np.int8)
+        return (jax.device_put(terms), jax.device_put(q),
+                jax.device_put(dscale.astype(np.float32)))
+
     # ---------------------------------------------------------------- search
     def _make_search(self) -> None:
         import jax
@@ -180,6 +237,8 @@ class TpuPostingsIndex:
 
         n = len(self.doc_ids)
         approx = self.approx
+        V = self.vocab_size
+        C = min(self.rescore_candidates, n) if self.rescore_candidates else 0
 
         # Arrays are arguments, not closures (closure constants ship inside
         # the remote compile request — HTTP 413 at ~1 GB).
@@ -187,8 +246,19 @@ class TpuPostingsIndex:
             return postings_score_topk(post_docs, post_w, scale, q_idx,
                                        q_val, k, n, approx)
 
-        jitted = jax.jit(search, static_argnums=5)
-        self._search_jit = lambda qi, qv, k: jitted(*self._built, qi, qv, k)
+        def search_two_phase(post_docs, post_w, scale, d_terms, d_vals,
+                             d_scale, q_idx, q_val, k):
+            return postings_two_phase_topk(
+                post_docs, post_w, scale, d_terms, d_vals, d_scale,
+                q_idx, q_val, k, n, V, C, approx)
+
+        if C:
+            jitted2 = jax.jit(search_two_phase, static_argnums=8)
+            self._search_jit = lambda qi, qv, k: jitted2(
+                *self._built, *self._doc_major, qi, qv, k)
+        else:
+            jitted = jax.jit(search, static_argnums=5)
+            self._search_jit = lambda qi, qv, k: jitted(*self._built, qi, qv, k)
 
     def search_topk(
         self, q_indices: np.ndarray, q_values: np.ndarray, k: int = 10
@@ -236,8 +306,8 @@ class TpuPostingsIndex:
     def memory_bytes(self) -> int:
         if self._built is None:
             return 0
-        return sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                   for a in self._built)
+        arrays = list(self._built) + list(self._doc_major or ())
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrays)
 
 
 class MeshShardedPostingsIndex(TpuPostingsIndex):

@@ -176,3 +176,49 @@ def test_mesh_sharded_ragged_tail_shard(corpus):
         for doc, score in res:
             assert doc in {f"d{i}" for i in range(43)}
             assert score > 0
+
+
+def test_two_phase_rescore_exact_when_candidates_cover(corpus):
+    """rescore_candidates >= N: phase 2 is an exact re-score of every doc,
+    so results equal the f32 oracle within per-DOC int8 tolerance even with
+    an aggressively truncated phase-1 cap."""
+    exact = ExactSparseIndex(vocab_size=V)
+    post = TpuPostingsIndex(V, n_postings=4, query_top_t=8, approx=False,
+                            rescore_candidates=10_000)
+    for i, (idx, val) in enumerate(corpus):
+        exact.add(f"d{i}", idx, val)
+        post.add(f"d{i}", idx, val)
+    post.build()
+    assert post.truncated_postings > 0  # phase 1 alone would be lossy
+    qi, qv = synth_queries(b=16)
+    got = post.search_topk(qi, qv, k=5)
+    for b in range(len(qi)):
+        ref = dict(exact.search_vector(qi[b], qv[b], k=len(corpus)))
+        want = exact.search_vector(qi[b], qv[b], k=5)
+        # top-1 agrees unless per-doc int8 flipped a near-tie
+        if len(want) >= 2 and want[0][1] > want[1][1] * 1.05:
+            assert got[b][0][0] == want[0][0]
+        for doc, score in got[b]:
+            assert score == pytest.approx(ref[doc], rel=0.05, abs=0.02)
+
+
+def test_two_phase_beats_single_phase_recall(corpus):
+    """Same tight cap: two-phase (cap-4 candidates + exact rescore) recalls
+    at least as much as single-phase cap-4 scoring."""
+    exact, single = build_both(corpus, n_postings=4)
+    two = TpuPostingsIndex(V, n_postings=4, query_top_t=8, approx=False,
+                           rescore_candidates=64)
+    for i, (idx, val) in enumerate(corpus):
+        two.add(f"d{i}", idx, val)
+    two.build()
+    qi, qv = synth_queries(b=32)
+    hits1 = hits2 = total = 0
+    for b in range(len(qi)):
+        want = {d for d, _ in exact.search_vector(qi[b], qv[b], k=10)}
+        got1 = {d for d, _ in single.search_topk(qi[b][None], qv[b][None], k=10)[0]}
+        got2 = {d for d, _ in two.search_topk(qi[b][None], qv[b][None], k=10)[0]}
+        hits1 += len(want & got1)
+        hits2 += len(want & got2)
+        total += len(want)
+    assert hits2 >= hits1, (hits2, hits1)
+    assert hits2 / total > 0.8, f"two-phase recall {hits2/total:.2f}"
