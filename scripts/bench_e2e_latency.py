@@ -10,6 +10,9 @@ different query batch so the remote proxy can't memoize.
 
 Usage: python scripts/bench_e2e_latency.py [--batch 1 8 32]
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 
 import argparse
 import json

@@ -9,6 +9,9 @@ inputs varying so the remote proxy can't memoize.
 
 Usage: python scripts/bench_postings.py [--docs 1000000] [--batch 256]
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 
 import argparse
 import json
@@ -31,6 +34,9 @@ def main() -> None:
     p.add_argument("--rescore", type=int, default=0,
                    help=">0: two-phase — short-cap candidates (this many) "
                         "re-scored exactly from the doc-major CSR")
+    p.add_argument("--phase1-f32", action="store_true",
+                   help="f32 phase-1 accumulator (default: bf16 when "
+                        "two-phase — halves the [B, N] memory wall)")
     args = p.parse_args()
 
     import jax
@@ -79,10 +85,12 @@ def main() -> None:
               q_idx, q_val):
         def body(acc0, q):
             qi, qv = q
+            p1 = jnp.float32 if args.phase1_f32 else jnp.bfloat16
             if args.rescore:
                 vals, _ = postings_two_phase_topk(
                     post_docs, post_w, scale, d_terms, d_vals, d_scale,
-                    qi, qv, K, n, V, min(args.rescore, n), approx)
+                    qi, qv, K, n, V, min(args.rescore, n), approx,
+                    phase1_dtype=p1)
             else:
                 vals, _ = postings_score_topk(post_docs, post_w, scale, qi,
                                               qv, K, n, approx)

@@ -9,6 +9,9 @@ so per-dispatch RPC latency (~50-70 ms on the tunneled dev chip) doesn't
 pollute the number; plain repeated dispatch both adds that latency and can
 be memoized by the remote-execution proxy.
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import json
 import time
 

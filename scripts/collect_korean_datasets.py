@@ -4,6 +4,9 @@ Reference: scripts/collect_korean_datasets.py (13 HF sources -> v29 triplets)
 — here driven through the preprocessing pipeline/registry; air-gapped hosts
 supply raw JSONL drops via $SPLADE_RAW_DATA/<key>.jsonl.
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import argparse
 
 from splade_tpu.preprocessing import PipelineConfig, PreprocessingPipeline

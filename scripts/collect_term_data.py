@@ -6,6 +6,9 @@ Sources here: MUSE-format bilingual dictionaries from local files
 ($SPLADE_TERM_DATA/*.txt, "ko_term en_term" per line) plus the built-in
 curated IT glossary. Output: pair-type triplets JSONL.
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import argparse
 import glob
 import json

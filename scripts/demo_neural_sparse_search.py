@@ -5,6 +5,9 @@ local mode — here fully in-process, no external cluster at all).
 Usage: python scripts/demo_neural_sparse_search.py [--checkpoint DIR]
 Without a checkpoint a random-init model is used (structure demo only).
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import argparse
 
 import jax

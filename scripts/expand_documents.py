@@ -1,5 +1,8 @@
 """Append doc2query expansions to shard positives
 (reference: scripts/expand_documents.py)."""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import argparse
 import glob
 

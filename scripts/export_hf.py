@@ -1,4 +1,7 @@
 """Export a trained checkpoint to HF format (reference: scripts/export_v33_hf.py)."""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import argparse
 
 from splade_tpu.export import export_checkpoint_to_hf

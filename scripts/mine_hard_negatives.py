@@ -1,5 +1,8 @@
 """Fill missing 'negative' fields in shards with TF-IDF hard negatives
 (reference: scripts/mine_hard_negatives.py)."""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import argparse
 import glob
 

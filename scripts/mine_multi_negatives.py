@@ -1,5 +1,8 @@
 """Mine k hard negatives per triplet from cached teacher embeddings
 (reference: scripts/mine_multi_negatives.py)."""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import argparse
 
 from splade_tpu.mining import mine_multi_negatives

@@ -1,6 +1,9 @@
 """Attach dense-teacher scores to triplet shards (reference:
 scripts/precompute_teacher_scores.py). Requires a local BGE-M3-compatible
 checkpoint dir (config.json + weights + tokenizer)."""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import argparse
 
 from splade_tpu.mining import precompute_teacher_scores

@@ -2,6 +2,9 @@
 (reference: scripts/prepare_korean_mlm_data.py — Korean Wikipedia + mC4
 cleanup). Input: text/jsonl files; output: cleaned, deduped sentence shards.
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import argparse
 import glob
 import json

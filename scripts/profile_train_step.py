@@ -2,6 +2,9 @@
 
 Writes the trace + step-time stats under outputs/profile/.
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -19,6 +19,9 @@ on real encodings).
 """
 
 from __future__ import annotations
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 
 import argparse
 import json

@@ -1,6 +1,9 @@
 """Validate an exported HF-format artifact: loads config + safetensors +
 tokenizer, runs inference, checks sparsity properties
 (reference: huggingface_tests/test_model.py:22-40)."""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import argparse
 
 import numpy as np

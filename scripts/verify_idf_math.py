@@ -1,5 +1,8 @@
 """Standalone numeric verification of the IDF/BM25 formulas
 (reference: scripts/test_idf_math.py — 345 LoC of formula checks)."""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # run without install
 import math
 
 import numpy as np
