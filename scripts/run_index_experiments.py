@@ -139,6 +139,34 @@ def main():
               f"({ps[str(n_post)]['truncated_pct']}% truncated)")
     results["postings_cap_sweep"] = ps
 
+    # 5) two-phase postings candidate sweep (SEISMIC heap_factor analogue,
+    # neural_sparse_search_aws.py query-params experiment): phase 2 re-scores
+    # candidates EXACTLY, so recall is bounded only by whether the true
+    # top-k appear among the C phase-1 candidates from aggressively
+    # truncated (short-cap) postings.
+    tp2 = {}
+    short_cap = max(4, df_cap // 4)
+    for C in sorted({args.k, args.k * 2, args.k * 5, args.k * 20}):
+        pidx = TpuPostingsIndex(
+            args.vocab, n_postings=short_cap, query_top_t=33, approx=False,
+            rescore_candidates=min(C, args.docs))
+        pidx.add_batch(doc_ids, docs)
+        pidx.build()
+        recs = [
+            recall_vs_exact(pidx.search_vector(qi, qv, k=args.k),
+                            exact_results[i], args.k)
+            for i, (qi, qv) in enumerate(queries)]
+        tp2[str(C)] = {
+            "recall@k_vs_exact": float(np.mean(recs)),
+            "short_cap": short_cap,
+            "truncated_pct": round(
+                100.0 * pidx.truncated_postings / max(pidx.nnz, 1), 2),
+            "memory_mb": round(pidx.memory_bytes() / 1e6, 1),
+        }
+        print(f"exp5 rescore_candidates={C}: recall {np.mean(recs):.4f} "
+              f"(cap {short_cap}, {tp2[str(C)]['truncated_pct']}% truncated)")
+    results["two_phase_candidates_sweep"] = tp2
+
     out = Path(args.output)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(results, indent=2))

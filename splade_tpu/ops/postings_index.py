@@ -42,19 +42,36 @@ def invert_to_postings(
     """CSR docs -> impact-ordered truncated postings.
 
     Returns (post_docs [V, P] int32, post_w [V, P] float32, n_truncated).
-    Fully vectorized: one lexsort of all postings by (term, -impact)."""
+
+    Fully vectorized and built for one host core at 10^7-doc scale (540M
+    postings, where a two-pass lexsort blows the build budget): every
+    posting packs into ONE uint64 — term id (16 bits; the 50K vocab fits),
+    complemented float16 impact bits (16; SPLADE impacts are non-negative,
+    so float bit patterns compare monotonically), posting position (32) —
+    and a single in-place np.sort orders by (term asc, impact desc) while
+    carrying the provenance, ~3x faster than argsort + gathers. Impact
+    order within a term is float16-approximate: top-P SELECTION at the cap
+    boundary can differ for impacts closer than f16 resolution (~0.1%),
+    far below the int8 quantization noise; stored values are exact float32
+    (recovered through the packed position)."""
     V, P = vocab_size, n_postings
+    assert V < (1 << 16), "packed uint64 key needs vocab < 65536"
     n = len(doc_idx)
     all_terms = np.concatenate(doc_idx)
-    all_vals = np.concatenate(doc_val)
-    all_docs = np.repeat(np.arange(n, dtype=np.int32),
-                         [len(x) for x in doc_idx])
-    order = np.lexsort((-all_vals, all_terms))  # by term, impact-desc
-    t_sorted = all_terms[order]
-    d_sorted = all_docs[order]
-    v_sorted = all_vals[order]
-    starts = np.searchsorted(t_sorted, np.arange(V, dtype=np.int64))
-    ends = np.searchsorted(t_sorted, np.arange(1, V + 1, dtype=np.int64))
+    all_vals = np.ascontiguousarray(np.concatenate(doc_val), np.float32)
+    assert len(all_vals) < (1 << 32), "packed position field is 32-bit"
+    lens = np.fromiter(map(len, doc_idx), np.int64, count=n)
+    all_docs = np.repeat(np.arange(n, dtype=np.int32), lens)
+    key = all_terms.astype(np.uint64)
+    key <<= np.uint64(48)
+    key |= (np.uint16(0xFFFF) -
+            all_vals.astype(np.float16).view(np.uint16)
+            ).astype(np.uint64) << np.uint64(32)
+    key |= np.arange(len(key), dtype=np.uint64)
+    key.sort()
+    bounds = np.arange(V + 1, dtype=np.uint64) << np.uint64(48)
+    starts = np.searchsorted(key, bounds[:-1])
+    ends = np.searchsorted(key, bounds[1:])
     df = (ends - starts).astype(np.int64)
     kept = np.minimum(df, P)
     post_docs = np.zeros((V, P), np.int32)   # pad doc 0 w/ weight 0
@@ -62,38 +79,48 @@ def invert_to_postings(
     rows = np.repeat(np.arange(V, dtype=np.int64), kept)
     offs = (np.arange(len(rows)) -
             np.repeat(np.cumsum(kept) - kept, kept))
-    take = np.repeat(starts, kept) + offs
-    post_docs[rows, offs] = d_sorted[take]
-    post_w[rows, offs] = v_sorted[take]
+    src = (key[np.repeat(starts, kept) + offs]
+           & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    post_docs[rows, offs] = all_docs[src]
+    post_w[rows, offs] = all_vals[src]
     return post_docs, post_w, int((df - kept).sum())
 
 
 def quantize_postings(post_w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-term int8 quantization. The first slot holds each term's max
-    impact (lists are impact-ordered). Returns (q [V,P] int8, scale [V] f32)."""
-    scale = np.maximum(post_w[:, 0], 1e-6) / 127.0
+    """Per-term int8 quantization against each term's true max impact
+    (NOT slot 0: within-term order is float16-approximate since the
+    composite-key build). Returns (q [V,P] int8, scale [V] f32)."""
+    scale = np.maximum(post_w.max(axis=1), 1e-6) / 127.0
     q = np.clip(np.round(post_w / scale[:, None]), 0, 127).astype(np.int8)
     return q, scale.astype(np.float32)
 
 
 def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
-                        n_docs: int, approx: bool):
+                        n_docs: int, approx: bool, acc_dtype=None):
     """The one postings scoring kernel: gather the query terms' rows,
     int8-dequantized bf16 contributions, scatter-add into a [B, n_docs]
     accumulator, partial top-k. Shared by TpuPostingsIndex.search, the
     serving engine's fused path, and the QPS bench — fix scoring here once.
+
+    ``acc_dtype``: accumulator dtype. float32 (default) for exact scores;
+    bfloat16 halves the dominant [B, N] buffer — use it for the candidate
+    phase of two-phase search, where scores are discarded after ranking
+    (phase 2 re-scores exactly) and the quantized contributions carry at
+    most 7 significant bits anyway.
     """
     import jax
     import jax.numpy as jnp
 
+    if acc_dtype is None:
+        acc_dtype = jnp.float32
     rows_d = post_docs[q_idx]                       # [B, T, P] gather
     rows_w = post_w[q_idx].astype(jnp.bfloat16)
     contrib = rows_w * (q_val * scale[q_idx])[:, :, None].astype(jnp.bfloat16)
     B = q_idx.shape[0]
-    acc = jnp.zeros((B, n_docs), jnp.float32)
+    acc = jnp.zeros((B, n_docs), acc_dtype)
     b_ix = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[:, None, None], rows_d.shape)
-    acc = acc.at[b_ix, rows_d].add(contrib.astype(jnp.float32), mode="drop")
+    acc = acc.at[b_ix, rows_d].add(contrib.astype(acc_dtype), mode="drop")
     if approx:
         return jax.lax.approx_max_k(acc, k)
     return jax.lax.top_k(acc, k)
@@ -101,18 +128,25 @@ def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
 
 def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
                             d_scale, q_idx, q_val, k: int, n_docs: int,
-                            vocab_size: int, n_candidates: int, approx: bool):
+                            vocab_size: int, n_candidates: int, approx: bool,
+                            phase1_dtype=None):
     """Two-phase kernel: short-cap postings rank ``n_candidates``, then the
-    doc-major CSR re-scores them exactly. Shared by the index and benches."""
+    doc-major CSR re-scores them exactly. Shared by the index and benches.
+
+    Phase-1 scores only pick candidates (phase 2 re-scores in f32), so the
+    [B, N] accumulator defaults to bfloat16 — the memory wall at N=10^7."""
     import jax
     import jax.numpy as jnp
 
+    if phase1_dtype is None:
+        phase1_dtype = jnp.bfloat16
     B = q_idx.shape[0]
     _, cand = postings_score_topk(post_docs, post_w, scale, q_idx, q_val,
-                                  n_candidates, n_docs, approx)   # [B, C]
+                                  n_candidates, n_docs, approx,
+                                  acc_dtype=phase1_dtype)          # [B, C]
     qd = jnp.zeros((B, vocab_size + 1), jnp.float32)  # col V: pad terms -> 0
     qd = qd.at[jnp.arange(B)[:, None], q_idx].add(q_val)
-    terms = d_terms[cand]                                          # [B, C, M]
+    terms = d_terms[cand].astype(jnp.int32)  # d_terms may be uint16 [B, C, M]
     w = d_vals[cand].astype(jnp.float32) * d_scale[cand][:, :, None]
     qv = qd[jnp.arange(B)[:, None, None], terms]                   # [B, C, M]
     scores = (qv * w).sum(-1)                                      # [B, C]
@@ -136,6 +170,7 @@ class TpuPostingsIndex:
         batch_pad: int = 8,
         approx: bool = True,
         rescore_candidates: int = 0,
+        phase1_acc: str = "auto",
     ):
         """rescore_candidates > 0 enables two-phase search: phase 1 ranks
         ``rescore_candidates`` candidates from the (short-cap) postings,
@@ -144,13 +179,21 @@ class TpuPostingsIndex:
         short caps (use n_postings≈64), while final scores are exact, so
         recall is limited only by candidate coverage. This is the SEISMIC
         two-level design (reference: neural_sparse_search_aws.py's
-        n_postings/heap_factor sweep) mapped to XLA."""
+        n_postings/heap_factor sweep) mapped to XLA.
+
+        phase1_acc: "f32" | "bf16" | "auto" — dtype of the [B, N] scoring
+        accumulator, THE memory wall at N=10^7 (f32 at B=256, N=10^7 is
+        10 GB). "auto" = bf16 when two-phase (scores are only used to rank
+        candidates; phase 2 re-scores in f32), f32 when single-phase."""
         self.vocab_size = vocab_size
         self.n_postings = n_postings
         self.query_top_t = query_top_t
         self.batch_pad = batch_pad
         self.approx = approx
         self.rescore_candidates = rescore_candidates
+        if phase1_acc not in ("auto", "f32", "bf16"):
+            raise ValueError(f"phase1_acc: {phase1_acc!r}")
+        self.phase1_acc = phase1_acc
         self.doc_ids: List[str] = []
         self.nnz = 0
         # staged CSR (host): per-doc arrays
@@ -210,17 +253,19 @@ class TpuPostingsIndex:
     def _build_doc_major(self):
         """Doc-major CSR for exact re-scoring: [N, M] term ids (pad id = V,
         which maps to a zero column in the query lookup), int8 weights with
-        per-doc scales. O(total nnz) memory — 270 MB at N=10^6, nnz 54."""
+        per-doc scales. Term ids are uint16 when the vocab fits (50K does):
+        O(total nnz) memory — ~160 MB at N=10^6, nnz 54; 1.6 GB at 10^7."""
         import jax
 
         n = len(self.doc_ids)
         lens = [len(x) for x in self._doc_idx]
         M = max(lens)
+        tdtype = np.uint16 if self.vocab_size < 2 ** 16 else np.int32
         if min(lens) == M:  # uniform rows (add_csr bulk path): one stack
-            terms = np.stack(self._doc_idx).astype(np.int32)
+            terms = np.stack(self._doc_idx).astype(tdtype)
             vals = np.stack(self._doc_val).astype(np.float32)
         else:
-            terms = np.full((n, M), self.vocab_size, np.int32)
+            terms = np.full((n, M), self.vocab_size, tdtype)
             vals = np.zeros((n, M), np.float32)
             for i, (ti, tv) in enumerate(zip(self._doc_idx, self._doc_val)):
                 terms[i, :len(ti)] = ti
@@ -229,6 +274,17 @@ class TpuPostingsIndex:
         q = np.clip(np.round(vals / dscale[:, None]), -127, 127).astype(np.int8)
         return (jax.device_put(terms), jax.device_put(q),
                 jax.device_put(dscale.astype(np.float32)))
+
+    def _acc_dtype(self):
+        import jax.numpy as jnp
+
+        if self.phase1_acc == "bf16":
+            return jnp.bfloat16
+        if self.phase1_acc == "f32":
+            return jnp.float32
+        # auto: bf16 is safe when exact rescoring follows; single-phase
+        # scores ARE the final scores, keep them f32.
+        return jnp.bfloat16 if self.rescore_candidates else jnp.float32
 
     # ---------------------------------------------------------------- search
     def _make_search(self) -> None:
@@ -239,18 +295,20 @@ class TpuPostingsIndex:
         approx = self.approx
         V = self.vocab_size
         C = min(self.rescore_candidates, n) if self.rescore_candidates else 0
+        acc_dtype = self._acc_dtype()
 
         # Arrays are arguments, not closures (closure constants ship inside
         # the remote compile request — HTTP 413 at ~1 GB).
         def search(post_docs, post_w, scale, q_idx, q_val, k):
             return postings_score_topk(post_docs, post_w, scale, q_idx,
-                                       q_val, k, n, approx)
+                                       q_val, k, n, approx,
+                                       acc_dtype=acc_dtype)
 
         def search_two_phase(post_docs, post_w, scale, d_terms, d_vals,
                              d_scale, q_idx, q_val, k):
             return postings_two_phase_topk(
                 post_docs, post_w, scale, d_terms, d_vals, d_scale,
-                q_idx, q_val, k, n, V, C, approx)
+                q_idx, q_val, k, n, V, C, approx, phase1_dtype=acc_dtype)
 
         if C:
             jitted2 = jax.jit(search_two_phase, static_argnums=8)
@@ -385,6 +443,7 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
         n = len(self.doc_ids)
         approx = self.approx
         axis = self.mesh.axis_names[0]
+        acc_dtype = self._acc_dtype()
 
         def search(post_docs, post_w, scale, q_idx, q_val, k):
             B = q_idx.shape[0]
@@ -392,7 +451,8 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
 
             def shard_search(pd, pw, sc):
                 return postings_score_topk(pd, pw, sc, q_idx, q_val,
-                                           k_local, per, approx)
+                                           k_local, per, approx,
+                                           acc_dtype=acc_dtype)
 
             vals, idxs = jax.vmap(shard_search)(post_docs, post_w, scale)
             # local -> global doc ids, then merge the D partial top-ks

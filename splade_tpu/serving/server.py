@@ -157,6 +157,10 @@ def main(argv: Optional[list] = None) -> int:
                    help="dense [N,V] matmul (<~300K docs) or truncated "
                         "postings (million-doc corpora)")
     p.add_argument("--n-postings", type=int, default=2048)
+    p.add_argument("--rescore", type=int, default=0,
+                   help=">0 with --index postings: two-phase search — this "
+                        "many short-cap candidates re-scored exactly "
+                        "(pair with --n-postings 64)")
     p.add_argument("--query-top-k", type=int, default=64)
     p.add_argument("--max-batch-size", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
@@ -185,7 +189,7 @@ def main(argv: Optional[list] = None) -> int:
     engine = build_engine_from_docs(
         enc.model, enc.params, tokenizer, docs, int8=args.int8,
         query_top_k=args.query_top_k, index_type=args.index,
-        n_postings=args.n_postings)
+        n_postings=args.n_postings, rescore_candidates=args.rescore)
     if args.warmup:
         logger.info("warming serving shapes (one compile per shape) ...")
     service = SearchService(engine, max_batch_size=args.max_batch_size,

@@ -303,3 +303,59 @@ def test_postings_engine_survives_index_mutation():
     hits = engine.search(unique_text, k=3)  # must rebuild, not crash
     assert engine.num_docs == 11
     assert hits[0][0] == "newdoc"  # the new doc is retrievable
+
+
+def test_two_phase_postings_engine_matches_dense(engine):
+    """Served two-phase search (short-cap candidates + exact rescoring):
+    with candidates >= corpus size the candidate set is complete, so the
+    top documents AND scores must match the dense engine exactly."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    docs = [(f"doc{i}", f"문서 {i} 텍스트 {'가나다라마바사'[i % 7]}")
+            for i in range(40)]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuPostingsIndex(VOCAB, n_postings=8, query_top_t=16,
+                             approx=False, rescore_candidates=64)
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    index.build()
+    post_engine = ServingEngine(model, params, tok, index,
+                                query_top_k=16, query_max_length=16)
+    assert post_engine._postings and post_engine._postings_two_phase
+    queries = ["가나다 검색", "문서 7"]
+    dense = engine.search_batch(queries, k=5)
+    post = post_engine.search_batch(queries, k=5)
+    for d, p in zip(dense, post):
+        assert [x for x, _ in d] == [x for x, _ in p]
+        np.testing.assert_allclose([s for _, s in d], [s for _, s in p],
+                                   rtol=5e-2)
+
+
+def test_two_phase_k_clamped_to_candidates(engine):
+    """k > rescore_candidates must degrade to k = C, not crash."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuPostingsIndex(VOCAB, n_postings=8, query_top_t=16,
+                             approx=False, rescore_candidates=4)
+    docs = [(f"doc{i}", f"문서 {i} 가나다") for i in range(30)]
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    engine2 = ServingEngine(model, params, tok, index, query_top_k=16,
+                            query_max_length=16)
+    hits = engine2.search("문서 3", k=10)
+    assert 0 < len(hits) <= 4
