@@ -37,6 +37,11 @@ def main() -> None:
     p.add_argument("--phase1-f32", action="store_true",
                    help="f32 phase-1 accumulator (default: bf16 when "
                         "two-phase — halves the [B, N] memory wall)")
+    p.add_argument("--scoring", default="scatter",
+                   choices=["scatter", "sort"],
+                   help="scatter: [B, N] accumulator (O(N)/batch); sort: "
+                        "sort+segment-sum over the [B, T*P] gathered "
+                        "postings — corpus-size-independent")
     args = p.parse_args()
 
     import jax
@@ -90,10 +95,11 @@ def main() -> None:
                 vals, _ = postings_two_phase_topk(
                     post_docs, post_w, scale, d_terms, d_vals, d_scale,
                     qi, qv, K, n, V, min(args.rescore, n), approx,
-                    phase1_dtype=p1)
+                    phase1_dtype=p1, scoring=args.scoring)
             else:
                 vals, _ = postings_score_topk(post_docs, post_w, scale, qi,
-                                              qv, K, n, approx)
+                                              qv, K, n, approx,
+                                              scoring=args.scoring)
             return acc0 + vals.sum(), None
 
         out, _ = jax.lax.scan(body, jnp.float32(0.0), (q_idx, q_val))
@@ -127,6 +133,7 @@ def main() -> None:
         "ms_per_query": round(1e3 / qps, 4),
         "topk": "approx" if approx else "exact",
         "rescore_candidates": args.rescore,
+        "scoring": args.scoring,
         "runs_s": [round(t, 3) for t in times],
     }))
 

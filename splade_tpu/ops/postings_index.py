@@ -95,18 +95,62 @@ def quantize_postings(post_w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale.astype(np.float32)
 
 
-def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
-                        n_docs: int, approx: bool, acc_dtype=None):
-    """The one postings scoring kernel: gather the query terms' rows,
-    int8-dequantized bf16 contributions, scatter-add into a [B, n_docs]
-    accumulator, partial top-k. Shared by TpuPostingsIndex.search, the
-    serving engine's fused path, and the QPS bench — fix scoring here once.
+def _sorted_segment_topk(rows_d, contrib, k: int):
+    """Corpus-size-independent aggregation of gathered postings.
 
-    ``acc_dtype``: accumulator dtype. float32 (default) for exact scores;
-    bfloat16 halves the dominant [B, N] buffer — use it for the candidate
-    phase of two-phase search, where scores are discarded after ranking
-    (phase 2 re-scores exactly) and the quantized contributions carry at
-    most 7 significant bits anyway.
+    rows_d [B, T, P] doc ids, contrib [B, T, P] per-posting scores.
+    A query's candidate pool is at most E = T*P postings (~2K at the
+    two-phase cap P=64), so instead of scatter-adding into a [B, N]
+    accumulator — O(N) HBM traffic per batch, the wall at N=10^7 — sort
+    the (doc_id, contribution) pairs per query and sum runs of equal ids
+    with a segmented scan. O(B*E log E) work, independent of corpus size.
+    Returns (scores [B, k], doc_ids [B, k]); missing slots score 0 at doc
+    0, matching the scatter kernel's docs-absent-from-postings semantics.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = rows_d.shape[0]
+    E = rows_d.shape[1] * rows_d.shape[2]
+    ids = rows_d.reshape(B, E)
+    c = contrib.reshape(B, E).astype(jnp.float32)
+    ids, c = jax.lax.sort((ids, c), dimension=-1, num_keys=1)
+    edge = ids[:, 1:] != ids[:, :-1]
+    one = jnp.ones((B, 1), bool)
+
+    def combine(a, b):  # segmented inclusive cumsum: reset at run starts
+        a_start, a_sum = a
+        b_start, b_sum = b
+        return a_start | b_start, jnp.where(b_start, b_sum, a_sum + b_sum)
+
+    _, seg = jax.lax.associative_scan(
+        combine, (jnp.concatenate([one, edge], 1), c), axis=1)
+    # a run's inclusive segmented sum at its END is the doc's total score
+    scores = jnp.where(jnp.concatenate([edge, one], 1), seg, -jnp.inf)
+    vals, pos = jax.lax.top_k(scores, min(k, E))
+    out_ids = jnp.take_along_axis(ids, pos, axis=1)
+    valid = vals > -jnp.inf
+    return jnp.where(valid, vals, 0.0), jnp.where(valid, out_ids, 0)
+
+
+def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
+                        n_docs: int, approx: bool, acc_dtype=None,
+                        scoring: str = "scatter"):
+    """The one postings scoring kernel: gather the query terms' rows,
+    int8-dequantized contributions, aggregate per doc, partial top-k.
+    Shared by TpuPostingsIndex.search, the serving engine's fused path,
+    and the QPS bench — fix scoring here once.
+
+    ``scoring``: "scatter" adds contributions into a [B, n_docs]
+    accumulator (O(N) traffic; right when T*P is huge or N is small);
+    "sort" aggregates the gathered [B, T*P] postings by sort+segment-sum
+    — corpus-size-independent, the short-cap/two-phase fast path.
+
+    ``acc_dtype`` (scatter only): accumulator dtype. float32 (default)
+    for exact scores; bfloat16 halves the dominant [B, N] buffer — use it
+    for the candidate phase of two-phase search, where scores are
+    discarded after ranking (phase 2 re-scores exactly) and the quantized
+    contributions carry at most 7 significant bits anyway.
     """
     import jax
     import jax.numpy as jnp
@@ -114,8 +158,12 @@ def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
     if acc_dtype is None:
         acc_dtype = jnp.float32
     rows_d = post_docs[q_idx]                       # [B, T, P] gather
+    qw = q_val * scale[q_idx]                       # [B, T]
+    if scoring == "sort":
+        contrib = post_w[q_idx].astype(jnp.float32) * qw[:, :, None]
+        return _sorted_segment_topk(rows_d, contrib, k)
     rows_w = post_w[q_idx].astype(jnp.bfloat16)
-    contrib = rows_w * (q_val * scale[q_idx])[:, :, None].astype(jnp.bfloat16)
+    contrib = rows_w * qw[:, :, None].astype(jnp.bfloat16)
     B = q_idx.shape[0]
     acc = jnp.zeros((B, n_docs), acc_dtype)
     b_ix = jnp.broadcast_to(
@@ -129,12 +177,13 @@ def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
 def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
                             d_scale, q_idx, q_val, k: int, n_docs: int,
                             vocab_size: int, n_candidates: int, approx: bool,
-                            phase1_dtype=None):
+                            phase1_dtype=None, scoring: str = "scatter"):
     """Two-phase kernel: short-cap postings rank ``n_candidates``, then the
     doc-major CSR re-scores them exactly. Shared by the index and benches.
 
     Phase-1 scores only pick candidates (phase 2 re-scores in f32), so the
-    [B, N] accumulator defaults to bfloat16 — the memory wall at N=10^7."""
+    [B, N] accumulator defaults to bfloat16 — the memory wall at N=10^7 —
+    and scoring="sort" removes the [B, N] buffer entirely."""
     import jax
     import jax.numpy as jnp
 
@@ -143,7 +192,8 @@ def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
     B = q_idx.shape[0]
     _, cand = postings_score_topk(post_docs, post_w, scale, q_idx, q_val,
                                   n_candidates, n_docs, approx,
-                                  acc_dtype=phase1_dtype)          # [B, C]
+                                  acc_dtype=phase1_dtype,
+                                  scoring=scoring)                 # [B, C]
     qd = jnp.zeros((B, vocab_size + 1), jnp.float32)  # col V: pad terms -> 0
     qd = qd.at[jnp.arange(B)[:, None], q_idx].add(q_val)
     terms = d_terms[cand].astype(jnp.int32)  # d_terms may be uint16 [B, C, M]
@@ -171,6 +221,7 @@ class TpuPostingsIndex:
         approx: bool = True,
         rescore_candidates: int = 0,
         phase1_acc: str = "auto",
+        scoring: str = "auto",
     ):
         """rescore_candidates > 0 enables two-phase search: phase 1 ranks
         ``rescore_candidates`` candidates from the (short-cap) postings,
@@ -184,7 +235,15 @@ class TpuPostingsIndex:
         phase1_acc: "f32" | "bf16" | "auto" — dtype of the [B, N] scoring
         accumulator, THE memory wall at N=10^7 (f32 at B=256, N=10^7 is
         10 GB). "auto" = bf16 when two-phase (scores are only used to rank
-        candidates; phase 2 re-scores in f32), f32 when single-phase."""
+        candidates; phase 2 re-scores in f32), f32 when single-phase.
+        Only used under scatter scoring.
+
+        scoring: "scatter" | "sort" | "auto" — how gathered postings
+        aggregate per doc. "scatter" adds into a [B, N] accumulator (O(N)
+        HBM traffic per batch); "sort" sorts the [B, T*P] gathered pairs
+        and segment-sums runs — corpus-size-INDEPENDENT, the right choice
+        whenever T*P is small (short caps / two-phase). "auto" picks sort
+        when T*P <= 65536, scatter otherwise."""
         self.vocab_size = vocab_size
         self.n_postings = n_postings
         self.query_top_t = query_top_t
@@ -194,6 +253,9 @@ class TpuPostingsIndex:
         if phase1_acc not in ("auto", "f32", "bf16"):
             raise ValueError(f"phase1_acc: {phase1_acc!r}")
         self.phase1_acc = phase1_acc
+        if scoring not in ("auto", "scatter", "sort"):
+            raise ValueError(f"scoring: {scoring!r}")
+        self.scoring = scoring
         self.doc_ids: List[str] = []
         self.nnz = 0
         # staged CSR (host): per-doc arrays
@@ -286,6 +348,16 @@ class TpuPostingsIndex:
         # scores ARE the final scores, keep them f32.
         return jnp.bfloat16 if self.rescore_candidates else jnp.float32
 
+    def resolved_scoring(self) -> str:
+        """'scatter' or 'sort' — 'auto' resolves on the gathered pool size
+        T*P: past ~64K entries per query, per-row sort cost overtakes the
+        [B, N] accumulator traffic (crossover measured on v5e; see
+        docs/POSTINGS_BENCH.json)."""
+        if self.scoring != "auto":
+            return self.scoring
+        return ("sort" if self.query_top_t * self.n_postings <= 65536
+                else "scatter")
+
     # ---------------------------------------------------------------- search
     def _make_search(self) -> None:
         import jax
@@ -296,19 +368,21 @@ class TpuPostingsIndex:
         V = self.vocab_size
         C = min(self.rescore_candidates, n) if self.rescore_candidates else 0
         acc_dtype = self._acc_dtype()
+        scoring = self.resolved_scoring()
 
         # Arrays are arguments, not closures (closure constants ship inside
         # the remote compile request — HTTP 413 at ~1 GB).
         def search(post_docs, post_w, scale, q_idx, q_val, k):
             return postings_score_topk(post_docs, post_w, scale, q_idx,
                                        q_val, k, n, approx,
-                                       acc_dtype=acc_dtype)
+                                       acc_dtype=acc_dtype, scoring=scoring)
 
         def search_two_phase(post_docs, post_w, scale, d_terms, d_vals,
                              d_scale, q_idx, q_val, k):
             return postings_two_phase_topk(
                 post_docs, post_w, scale, d_terms, d_vals, d_scale,
-                q_idx, q_val, k, n, V, C, approx, phase1_dtype=acc_dtype)
+                q_idx, q_val, k, n, V, C, approx, phase1_dtype=acc_dtype,
+                scoring=scoring)
 
         if C:
             jitted2 = jax.jit(search_two_phase, static_argnums=8)
@@ -444,6 +518,7 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
         approx = self.approx
         axis = self.mesh.axis_names[0]
         acc_dtype = self._acc_dtype()
+        scoring = self.resolved_scoring()
 
         def search(post_docs, post_w, scale, q_idx, q_val, k):
             B = q_idx.shape[0]
@@ -452,7 +527,8 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
             def shard_search(pd, pw, sc):
                 return postings_score_topk(pd, pw, sc, q_idx, q_val,
                                            k_local, per, approx,
-                                           acc_dtype=acc_dtype)
+                                           acc_dtype=acc_dtype,
+                                           scoring=scoring)
 
             vals, idxs = jax.vmap(shard_search)(post_docs, post_w, scale)
             # local -> global doc ids, then merge the D partial top-ks

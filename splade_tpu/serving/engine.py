@@ -67,7 +67,8 @@ def make_fused_search_fn(model, banned, query_top_k: int, is_int8: bool):
 
 def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
                                   approx: bool = True, vocab_size: int = 0,
-                                  n_candidates: int = 0, acc_dtype=None):
+                                  n_candidates: int = 0, acc_dtype=None,
+                                  scoring: str = "scatter"):
     """Fused encode→postings-search for TpuPostingsIndex-backed serving:
     one dispatch at million-doc scale.
 
@@ -97,7 +98,7 @@ def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
             return postings_two_phase_topk(
                 post_docs, post_w, term_scale, d_terms, d_vals, d_scale,
                 q_idx, q_val, k, n_docs, vocab_size, n_candidates, approx,
-                phase1_dtype=acc_dtype)
+                phase1_dtype=acc_dtype, scoring=scoring)
 
         return fused2
 
@@ -105,7 +106,7 @@ def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
         q_val, q_idx = encode_query(p, ids, mask)
         return postings_score_topk(post_docs, post_w, term_scale, q_idx,
                                    q_val, k, n_docs, approx,
-                                   acc_dtype=acc_dtype)
+                                   acc_dtype=acc_dtype, scoring=scoring)
 
     return fused
 
@@ -178,7 +179,8 @@ class ServingEngine:
             self._model, self._banned, top_t=self.index.query_top_t,
             n_docs=self._postings_n, approx=self.index.approx,
             vocab_size=self.index.vocab_size, n_candidates=C,
-            acc_dtype=self.index._acc_dtype())
+            acc_dtype=self.index._acc_dtype(),
+            scoring=self.index.resolved_scoring())
         self._fused_jit = jax.jit(fused,
                                   static_argnums=(9 if C else 6,))
 

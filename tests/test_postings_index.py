@@ -222,3 +222,92 @@ def test_two_phase_beats_single_phase_recall(corpus):
         total += len(want)
     assert hits2 >= hits1, (hits2, hits1)
     assert hits2 / total > 0.8, f"two-phase recall {hits2/total:.2f}"
+
+
+def test_sort_scoring_matches_scatter(corpus):
+    """scoring='sort' (sort + segmented-sum aggregation, corpus-size-
+    independent) must rank exactly like scoring='scatter' on the same
+    postings and agree on scores to f32-association tolerance."""
+    kw = dict(n_postings=16, query_top_t=8, approx=False)
+    scat = TpuPostingsIndex(V, scoring="scatter", **kw)
+    sort = TpuPostingsIndex(V, scoring="sort", **kw)
+    for i, (idx, val) in enumerate(corpus):
+        scat.add(f"d{i}", idx, val)
+        sort.add(f"d{i}", idx, val)
+    scat.build()
+    sort.build()
+    assert scat.resolved_scoring() == "scatter"
+    assert sort.resolved_scoring() == "sort"
+    qi, qv = synth_queries(b=32)
+    got_a = scat.search_topk(qi, qv, k=5)
+    got_b = sort.search_topk(qi, qv, k=5)
+    for a, b in zip(got_a, got_b):
+        # scatter accumulates bf16 contributions; sort sums in f32, so
+        # near-ties in the ranking tail may swap — top-1 must agree and
+        # shared docs must score within bf16 tolerance
+        assert a[0][0] == b[0][0]
+        sa, sb = dict(a), dict(b)
+        common = set(sa) & set(sb)
+        assert len(common) >= 4
+        for d in common:
+            assert sa[d] == pytest.approx(sb[d], rel=2e-2, abs=1e-2)
+
+
+def test_sort_scoring_two_phase_matches_scatter(corpus):
+    """Two-phase with sort-mode phase 1: same exact final scores as
+    scatter-mode phase 1 when candidates cover the pool."""
+    kw = dict(n_postings=4, query_top_t=8, approx=False,
+              rescore_candidates=48)
+    scat = TpuPostingsIndex(V, scoring="scatter", **kw)
+    sort = TpuPostingsIndex(V, scoring="sort", **kw)
+    for i, (idx, val) in enumerate(corpus):
+        scat.add(f"d{i}", idx, val)
+        sort.add(f"d{i}", idx, val)
+    scat.build()
+    sort.build()
+    qi, qv = synth_queries(b=16)
+    got_a = scat.search_topk(qi, qv, k=5)
+    got_b = sort.search_topk(qi, qv, k=5)
+    for a, b in zip(got_a, got_b):
+        # phase 2 re-scores BOTH candidate sets exactly, so shared docs
+        # carry identical scores; candidate sets may differ in near-tie
+        # tails (bf16 scatter vs f32 sort phase-1 scores)
+        sa, sb = dict(a), dict(b)
+        common = set(sa) & set(sb)
+        assert len(common) >= 4
+        for d in common:
+            assert sa[d] == pytest.approx(sb[d], rel=1e-5, abs=1e-6)
+
+
+def test_auto_scoring_resolution():
+    idx = TpuPostingsIndex(V, n_postings=64, query_top_t=33)
+    assert idx.resolved_scoring() == "sort"  # 33*64 << 65536
+    idx2 = TpuPostingsIndex(V, n_postings=4096, query_top_t=33)
+    assert idx2.resolved_scoring() == "scatter"  # 33*4096 > 65536
+    with pytest.raises(ValueError):
+        TpuPostingsIndex(V, scoring="bogus")
+
+
+def test_mesh_sharded_sort_scoring(corpus):
+    """Sort-mode aggregation inside each mesh shard: same results as the
+    single-device sort index (lossless cap)."""
+    from splade_tpu.parallel.mesh import make_mesh
+    from splade_tpu.ops.postings_index import MeshShardedPostingsIndex
+
+    mesh = make_mesh()
+    single = TpuPostingsIndex(V, n_postings=512, query_top_t=8,
+                              approx=False, scoring="sort")
+    sharded = MeshShardedPostingsIndex(V, mesh, n_postings=512,
+                                       query_top_t=8, approx=False)
+    sharded.scoring = "sort"
+    for i, (idx, val) in enumerate(corpus):
+        single.add(f"d{i}", idx, val)
+        sharded.add(f"d{i}", idx, val)
+    single.build()
+    sharded.build()
+    qi, qv = synth_queries(b=16)
+    got_s = single.search_topk(qi, qv, k=5)
+    got_m = sharded.search_topk(qi, qv, k=5)
+    for s_res, m_res in zip(got_s, got_m):
+        assert s_res[0][0] == m_res[0][0]
+        assert len({d for d, _ in s_res} & {d for d, _ in m_res}) >= 4
