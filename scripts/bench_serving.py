@@ -78,6 +78,10 @@ def main() -> int:
     p.add_argument("--clients", type=int, default=64)
     p.add_argument("--requests", type=int, default=256)
     p.add_argument("--index", default="dense", choices=["dense", "postings"])
+    p.add_argument("--n-postings", type=int, default=2048)
+    p.add_argument("--rescore", type=int, default=0,
+                   help=">0 with --index postings: two-phase search (pair "
+                        "with --n-postings 64)")
     p.add_argument("--max-batch-size", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     args = p.parse_args()
@@ -99,7 +103,9 @@ def main() -> int:
                 docs.append((str(d.get("id", len(docs))),
                              d.get("text") or d.get("contents") or ""))
     engine = build_engine_from_docs(enc.model, enc.params, tokenizer, docs,
-                                    index_type=args.index)
+                                    index_type=args.index,
+                                    n_postings=args.n_postings,
+                                    rescore_candidates=args.rescore)
     service = SearchService(engine, max_batch_size=args.max_batch_size,
                             max_wait_ms=args.max_wait_ms, warmup=True)
     srv = create_server(service, "127.0.0.1", 0)
@@ -111,6 +117,7 @@ def main() -> int:
                          queries)
         stats["batcher"] = service.stats()
         print(json.dumps({"metric": "serving_http_load", "index": args.index,
+                          "rescore": args.rescore,
                           **stats}, ensure_ascii=False))
     finally:
         srv.shutdown()

@@ -200,7 +200,9 @@ def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
     w = d_vals[cand].astype(jnp.float32) * d_scale[cand][:, :, None]
     qv = qd[jnp.arange(B)[:, None, None], terms]                   # [B, C, M]
     scores = (qv * w).sum(-1)                                      # [B, C]
-    vals, pos = jax.lax.top_k(scores, min(k, n_candidates))
+    # under sort scoring the candidate pool is capped at T*P, which may be
+    # smaller than n_candidates — clamp k to what phase 1 actually returned
+    vals, pos = jax.lax.top_k(scores, min(k, scores.shape[1]))
     return vals, jnp.take_along_axis(cand, pos, axis=1)
 
 
@@ -350,12 +352,14 @@ class TpuPostingsIndex:
 
     def resolved_scoring(self) -> str:
         """'scatter' or 'sort' — 'auto' resolves on the gathered pool size
-        T*P: past ~64K entries per query, per-row sort cost overtakes the
-        [B, N] accumulator traffic (crossover measured on v5e; see
-        docs/POSTINGS_BENCH.json)."""
+        T*P. Measured on v5e (docs/POSTINGS_BENCH.json): sort wins at the
+        two-phase short cap (T*P ~2K: 7,096 vs 5,155 QPS at 1M docs, 7.8x
+        at 10M), but the [B, E] bitonic sort degrades sharply past E~4K
+        (E=8K did not finish a 580 s budget) while scatter holds 8K+ QPS —
+        so sort only below 4096."""
         if self.scoring != "auto":
             return self.scoring
-        return ("sort" if self.query_top_t * self.n_postings <= 65536
+        return ("sort" if self.query_top_t * self.n_postings <= 4096
                 else "scatter")
 
     # ---------------------------------------------------------------- search

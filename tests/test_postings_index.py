@@ -281,9 +281,9 @@ def test_sort_scoring_two_phase_matches_scatter(corpus):
 
 def test_auto_scoring_resolution():
     idx = TpuPostingsIndex(V, n_postings=64, query_top_t=33)
-    assert idx.resolved_scoring() == "sort"  # 33*64 << 65536
-    idx2 = TpuPostingsIndex(V, n_postings=4096, query_top_t=33)
-    assert idx2.resolved_scoring() == "scatter"  # 33*4096 > 65536
+    assert idx.resolved_scoring() == "sort"  # 33*64 = 2112 <= 4096
+    idx2 = TpuPostingsIndex(V, n_postings=2048, query_top_t=32)
+    assert idx2.resolved_scoring() == "scatter"  # 32*2048 >> 4096
     with pytest.raises(ValueError):
         TpuPostingsIndex(V, scoring="bogus")
 
