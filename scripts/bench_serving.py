@@ -73,7 +73,13 @@ def run_load(address, n_clients: int, n_requests: int, queries):
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--docs", required=True)
+    p.add_argument("--docs", default=None,
+                   help="corpus JSONL; omit with --synthetic-docs")
+    p.add_argument("--synthetic-docs", type=int, default=0,
+                   help="build a synthetic postings index of this many "
+                        "docs instead of encoding a corpus (query encoding "
+                        "still runs the real model) — serving-layer QPS at "
+                        "million-doc scale without hours of doc encoding")
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--clients", type=int, default=64)
     p.add_argument("--requests", type=int, default=256)
@@ -95,17 +101,39 @@ def main() -> int:
     setup_logging(None)
     tokenizer = create_tokenizer(args.tokenizer or args.checkpoint)
     enc = SparseEncoderV33.from_checkpoint(args.checkpoint, tokenizer)
-    docs = []
-    with open(args.docs, encoding="utf-8") as f:
-        for line in f:
-            if line.strip():
-                d = json.loads(line)
-                docs.append((str(d.get("id", len(docs))),
-                             d.get("text") or d.get("contents") or ""))
-    engine = build_engine_from_docs(enc.model, enc.params, tokenizer, docs,
-                                    index_type=args.index,
-                                    n_postings=args.n_postings,
-                                    rescore_candidates=args.rescore)
+    if args.synthetic_docs:
+        import numpy as np
+
+        from splade_tpu.ops.postings_index import TpuPostingsIndex
+        from splade_tpu.serving.engine import ServingEngine
+
+        assert args.index == "postings", "--synthetic-docs implies postings"
+        rng = np.random.default_rng(0)
+        n, nnz, V = args.synthetic_docs, 54, len(tokenizer)
+        index = TpuPostingsIndex(V, n_postings=args.n_postings,
+                                 query_top_t=32,
+                                 rescore_candidates=args.rescore)
+        index.add_csr(
+            [f"d{i}" for i in range(n)],
+            (rng.zipf(1.3, size=n * nnz) % V).astype(
+                np.int32).reshape(n, nnz),
+            (np.abs(rng.normal(size=(n, nnz))) + 0.1).astype(np.float32))
+        index.build()
+        engine = ServingEngine(enc.model, enc.params, tokenizer, index,
+                               query_top_k=32)
+        docs = [(f"d{i}", f"한국어 질의 문서 {i}") for i in range(64)]
+    else:
+        docs = []
+        with open(args.docs, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    d = json.loads(line)
+                    docs.append((str(d.get("id", len(docs))),
+                                 d.get("text") or d.get("contents") or ""))
+        engine = build_engine_from_docs(enc.model, enc.params, tokenizer,
+                                        docs, index_type=args.index,
+                                        n_postings=args.n_postings,
+                                        rescore_candidates=args.rescore)
     service = SearchService(engine, max_batch_size=args.max_batch_size,
                             max_wait_ms=args.max_wait_ms, warmup=True)
     srv = create_server(service, "127.0.0.1", 0)
@@ -118,6 +146,7 @@ def main() -> int:
         stats["batcher"] = service.stats()
         print(json.dumps({"metric": "serving_http_load", "index": args.index,
                           "rescore": args.rescore,
+                          "num_docs": engine.num_docs,
                           **stats}, ensure_ascii=False))
     finally:
         srv.shutdown()
