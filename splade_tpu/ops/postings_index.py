@@ -206,6 +206,60 @@ def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
     return vals, jnp.take_along_axis(cand, pos, axis=1)
 
 
+def make_mesh_postings_search_fns(n_shards: int, shard_size: int, n_docs: int,
+                                  vocab_size: int, n_candidates: int,
+                                  approx: bool, acc_dtype, scoring: str):
+    """Search bodies for doc-sharded postings under GSPMD: vmap the
+    per-shard kernel over the leading shard axis, then merge the [D, B, k]
+    partial top-ks (the only cross-device traffic). Shared by
+    MeshShardedPostingsIndex and the serving engine's mesh-fused path.
+    Returns (search, search_two_phase); two-phase rescoring is exact per
+    shard, so the merged scores are exact."""
+    import jax
+    import jax.numpy as jnp
+
+    D, per, n, V, C = n_shards, shard_size, n_docs, vocab_size, n_candidates
+
+    def merge(vals, idxs, k, k_local):
+        # local -> global doc ids, then merge the D partial top-ks
+        B = vals.shape[1]
+        idxs = idxs + (jnp.arange(D, dtype=jnp.int32) * per)[:, None, None]
+        vals = jnp.transpose(vals, (1, 0, 2)).reshape(B, D * k_local)
+        idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(B, D * k_local)
+        mvals, mpos = jax.lax.top_k(vals, min(k, D * k_local))
+        mids = jnp.take_along_axis(idxs, mpos, axis=1)
+        valid = mids < n
+        return jnp.where(valid, mvals, 0.0), jnp.where(valid, mids, 0)
+
+    def search(post_docs, post_w, scale, q_idx, q_val, k):
+        k_local = min(k, per)  # a shard can contribute at most `per` docs
+
+        def shard_search(pd, pw, sc):
+            return postings_score_topk(pd, pw, sc, q_idx, q_val, k_local,
+                                       per, approx, acc_dtype=acc_dtype,
+                                       scoring=scoring)
+
+        vals, idxs = jax.vmap(shard_search)(post_docs, post_w, scale)
+        return merge(vals, idxs, k, k_local)
+
+    def search_two_phase(post_docs, post_w, scale, d_terms, d_vals,
+                         d_scale, q_idx, q_val, k):
+        # each shard ranks C local candidates and rescores them EXACTLY
+        # from its doc-major block; the merge of exact scores is exact
+        k_local = min(k, per, C)
+
+        def shard_search(pd, pw, sc, dt, dv, ds):
+            return postings_two_phase_topk(
+                pd, pw, sc, dt, dv, ds, q_idx, q_val, k_local, per, V, C,
+                approx, phase1_dtype=acc_dtype, scoring=scoring)
+
+        vals, idxs = jax.vmap(shard_search)(post_docs, post_w, scale,
+                                            d_terms, d_vals, d_scale)
+        return merge(vals, idxs, k, vals.shape[2])
+
+    return search, search_two_phase
+
+
 class TpuPostingsIndex:
     """Impact-ordered truncated postings on device.
 
@@ -314,30 +368,37 @@ class TpuPostingsIndex:
             100.0 * self.truncated_postings / max(self.nnz, 1),
             self.memory_bytes() / 1e6)
 
-    def _build_doc_major(self):
-        """Doc-major CSR for exact re-scoring: [N, M] term ids (pad id = V,
+    def _doc_major_arrays(self, doc_idx, doc_val, n_rows: int, M: int = 0):
+        """Host-side doc-major CSR block: [n_rows, M] term ids (pad id = V,
         which maps to a zero column in the query lookup), int8 weights with
         per-doc scales. Term ids are uint16 when the vocab fits (50K does):
-        O(total nnz) memory — ~160 MB at N=10^6, nnz 54; 1.6 GB at 10^7."""
-        import jax
-
-        n = len(self.doc_ids)
-        lens = [len(x) for x in self._doc_idx]
-        M = max(lens)
+        O(total nnz) memory — ~160 MB at N=10^6, nnz 54; 1.6 GB at 10^7.
+        ``n_rows`` may exceed len(doc_idx) (shard padding): extra rows are
+        all-pad with score 0."""
+        lens = [len(x) for x in doc_idx]
+        M = max(M, max(lens, default=1))
         tdtype = np.uint16 if self.vocab_size < 2 ** 16 else np.int32
-        if min(lens) == M:  # uniform rows (add_csr bulk path): one stack
-            terms = np.stack(self._doc_idx).astype(tdtype)
-            vals = np.stack(self._doc_val).astype(np.float32)
+        if len(doc_idx) == n_rows and lens and min(lens) == M:
+            # uniform rows (add_csr bulk path): one stack
+            terms = np.stack(doc_idx).astype(tdtype)
+            vals = np.stack(doc_val).astype(np.float32)
         else:
-            terms = np.full((n, M), self.vocab_size, tdtype)
-            vals = np.zeros((n, M), np.float32)
-            for i, (ti, tv) in enumerate(zip(self._doc_idx, self._doc_val)):
+            terms = np.full((n_rows, M), self.vocab_size, tdtype)
+            vals = np.zeros((n_rows, M), np.float32)
+            for i, (ti, tv) in enumerate(zip(doc_idx, doc_val)):
                 terms[i, :len(ti)] = ti
                 vals[i, :len(tv)] = tv
         dscale = np.maximum(np.abs(vals).max(axis=1), 1e-6) / 127.0
         q = np.clip(np.round(vals / dscale[:, None]), -127, 127).astype(np.int8)
+        return terms, q, dscale.astype(np.float32)
+
+    def _build_doc_major(self):
+        import jax
+
+        terms, q, dscale = self._doc_major_arrays(
+            self._doc_idx, self._doc_val, len(self.doc_ids))
         return (jax.device_put(terms), jax.device_put(q),
-                jax.device_put(dscale.astype(np.float32)))
+                jax.device_put(dscale))
 
     def _acc_dtype(self):
         import jax.numpy as jnp
@@ -463,10 +524,12 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
 
     def __init__(self, vocab_size: int, mesh, n_postings: int = 2048,
                  query_top_t: int = 32, batch_pad: int = 8,
-                 approx: bool = True):
+                 approx: bool = True, rescore_candidates: int = 0,
+                 scoring: str = "auto"):
         super().__init__(vocab_size, n_postings=n_postings,
                          query_top_t=query_top_t, batch_pad=batch_pad,
-                         approx=approx)
+                         approx=approx, rescore_candidates=rescore_candidates,
+                         scoring=scoring)
         self.mesh = mesh
         self.n_shards = int(mesh.devices.size)
 
@@ -505,6 +568,22 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
             jax.device_put(np.stack(w_stack), sh3),
             jax.device_put(np.stack(scale_stack), sh2),
         )
+        if self.rescore_candidates:
+            # per-shard doc-major CSR for exact local rescoring: [D, per, M]
+            M = max((len(x) for x in self._doc_idx), default=1)
+            t_stack, v_stack, s_stack = [], [], []
+            for d in range(D):
+                lo, hi = d * per, min((d + 1) * per, n)
+                t, v, s = self._doc_major_arrays(
+                    self._doc_idx[lo:hi], self._doc_val[lo:hi], per, M=M)
+                t_stack.append(t)
+                v_stack.append(v)
+                s_stack.append(s)
+            self._doc_major = (
+                jax.device_put(np.stack(t_stack), sh3),
+                jax.device_put(np.stack(v_stack), sh3),
+                jax.device_put(np.stack(s_stack), sh2),
+            )
         self._make_search()
         logger.info(
             "mesh postings index: %d docs over %d shards (%d/shard), P=%d, "
@@ -516,40 +595,29 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        D = self.n_shards
         per = self._shard_size
-        n = len(self.doc_ids)
-        approx = self.approx
+        C = min(self.rescore_candidates, per) if self.rescore_candidates else 0
         axis = self.mesh.axis_names[0]
-        acc_dtype = self._acc_dtype()
-        scoring = self.resolved_scoring()
-
-        def search(post_docs, post_w, scale, q_idx, q_val, k):
-            B = q_idx.shape[0]
-            k_local = min(k, per)  # a shard can contribute at most `per` docs
-
-            def shard_search(pd, pw, sc):
-                return postings_score_topk(pd, pw, sc, q_idx, q_val,
-                                           k_local, per, approx,
-                                           acc_dtype=acc_dtype,
-                                           scoring=scoring)
-
-            vals, idxs = jax.vmap(shard_search)(post_docs, post_w, scale)
-            # local -> global doc ids, then merge the D partial top-ks
-            idxs = idxs + (jnp.arange(D, dtype=jnp.int32) * per)[:, None, None]
-            vals = jnp.transpose(vals, (1, 0, 2)).reshape(B, D * k_local)
-            idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(B, D * k_local)
-            mvals, mpos = jax.lax.top_k(vals, min(k, D * k_local))
-            mids = jnp.take_along_axis(idxs, mpos, axis=1)
-            valid = mids < n
-            return jnp.where(valid, mvals, 0.0), jnp.where(valid, mids, 0)
+        search, search_two_phase = make_mesh_postings_search_fns(
+            n_shards=self.n_shards, shard_size=per, n_docs=len(self.doc_ids),
+            vocab_size=self.vocab_size, n_candidates=C, approx=self.approx,
+            acc_dtype=self._acc_dtype(), scoring=self.resolved_scoring())
 
         rep = NamedSharding(self.mesh, P())
         sh3 = NamedSharding(self.mesh, P(axis, None, None))
         sh2 = NamedSharding(self.mesh, P(axis, None))
-        jitted = jax.jit(
-            search, static_argnums=5,
-            in_shardings=(sh3, sh3, sh2, rep, rep),
-            out_shardings=(rep, rep))
-        self._search_jit = lambda qi, qv, k: jitted(*self._built, qi, qv, k)
+        if C:
+            jitted2 = jax.jit(
+                search_two_phase, static_argnums=8,
+                in_shardings=(sh3, sh3, sh2, sh3, sh3, sh2, rep, rep),
+                out_shardings=(rep, rep))
+            self._search_jit = lambda qi, qv, k: jitted2(
+                *self._built, *self._doc_major, qi, qv, k)
+        else:
+            jitted = jax.jit(
+                search, static_argnums=5,
+                in_shardings=(sh3, sh3, sh2, rep, rep),
+                out_shardings=(rep, rep))
+            self._search_jit = lambda qi, qv, k: jitted(*self._built,
+                                                        qi, qv, k)
 

@@ -111,6 +111,61 @@ def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
     return fused
 
 
+def make_fused_mesh_postings_jit(model, banned, index):
+    """Fused encode→search over a MeshShardedPostingsIndex: the query
+    encode runs replicated on every device, each shard scores its doc
+    range, and only the [D, B, k] partial top-k merge crosses devices —
+    pod-scale serving with the same one-dispatch contract. Returns the
+    jitted fn (shardings baked in); arg order matches the single-device
+    fused fns so ServingEngine.search_batch is backend-agnostic."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from splade_tpu.ops.postings_index import make_mesh_postings_search_fns
+
+    per = index._shard_size
+    C = min(index.rescore_candidates, per) if index.rescore_candidates else 0
+    top_t = index.query_top_t
+    search, search_two_phase = make_mesh_postings_search_fns(
+        n_shards=index.n_shards, shard_size=per, n_docs=len(index),
+        vocab_size=index.vocab_size, n_candidates=C, approx=index.approx,
+        acc_dtype=index._acc_dtype(), scoring=index.resolved_scoring())
+
+    def encode_query(p, ids, mask):
+        repr_, _ = model.apply({"params": p}, ids, mask)    # [B, V]
+        repr_ = repr_.astype(jnp.float32)
+        if banned is not None:
+            repr_ = jnp.where(banned[None, :], 0.0, repr_)
+        return jax.lax.top_k(repr_, top_t)                   # [B, T] x2
+
+    mesh = index.mesh
+    axis = mesh.axis_names[0]
+    rep = NamedSharding(mesh, P())
+    sh3 = NamedSharding(mesh, P(axis, None, None))
+    sh2 = NamedSharding(mesh, P(axis, None))
+
+    if C:
+        def fused2(p, post_docs, post_w, term_scale, d_terms, d_vals,
+                   d_scale, ids, mask, k):
+            q_val, q_idx = encode_query(p, ids, mask)
+            return search_two_phase(post_docs, post_w, term_scale, d_terms,
+                                    d_vals, d_scale, q_idx, q_val, k)
+
+        return jax.jit(fused2, static_argnums=(9,),
+                       in_shardings=(rep, sh3, sh3, sh2, sh3, sh3, sh2,
+                                     rep, rep),
+                       out_shardings=(rep, rep))
+
+    def fused(p, post_docs, post_w, term_scale, ids, mask, k):
+        q_val, q_idx = encode_query(p, ids, mask)
+        return search(post_docs, post_w, term_scale, q_idx, q_val, k)
+
+    return jax.jit(fused, static_argnums=(6,),
+                   in_shardings=(rep, sh3, sh3, sh2, rep, rep),
+                   out_shardings=(rep, rep))
+
+
 class ServingEngine:
     """Owns device-pinned params + a built TpuImpactIndex.
 
@@ -169,12 +224,18 @@ class ServingEngine:
         requires re-making the jit, not just rebuilding the index."""
         import jax
 
+        from splade_tpu.ops.postings_index import MeshShardedPostingsIndex
+
         if self.index._built is None:
             self.index.build()
         self._postings_n = len(self.index)
         C = min(self.index.rescore_candidates, self._postings_n)
         self._postings_two_phase = bool(C)
         self._postings_C = C
+        if isinstance(self.index, MeshShardedPostingsIndex):
+            self._fused_jit = make_fused_mesh_postings_jit(
+                self._model, self._banned, self.index)
+            return
         fused = make_fused_postings_search_fn(
             self._model, self._banned, top_t=self.index.query_top_t,
             n_docs=self._postings_n, approx=self.index.approx,

@@ -311,3 +311,50 @@ def test_mesh_sharded_sort_scoring(corpus):
     for s_res, m_res in zip(got_s, got_m):
         assert s_res[0][0] == m_res[0][0]
         assert len({d for d, _ in s_res} & {d for d, _ in m_res}) >= 4
+
+
+def test_mesh_sharded_two_phase_exact_when_candidates_cover(corpus):
+    """Mesh two-phase: every shard rescores its candidates exactly, so with
+    per-shard candidate coverage the merged results match the f32 oracle
+    within per-doc int8 tolerance."""
+    from splade_tpu.parallel.mesh import make_mesh
+    from splade_tpu.ops.postings_index import MeshShardedPostingsIndex
+
+    mesh = make_mesh()
+    post = MeshShardedPostingsIndex(V, mesh, n_postings=4, query_top_t=8,
+                                    approx=False, rescore_candidates=10_000)
+    exact = ExactSparseIndex(vocab_size=V)
+    for i, (idx, val) in enumerate(corpus):
+        exact.add(f"d{i}", idx, val)
+        post.add(f"d{i}", idx, val)
+    post.build()
+    assert post.truncated_postings > 0  # phase 1 alone would be lossy
+    assert post._doc_major is not None
+    qi, qv = synth_queries(b=16)
+    got = post.search_topk(qi, qv, k=5)
+    for b in range(len(qi)):
+        ref = dict(exact.search_vector(qi[b], qv[b], k=len(corpus)))
+        want = exact.search_vector(qi[b], qv[b], k=5)
+        if len(want) >= 2 and want[0][1] > want[1][1] * 1.05:
+            assert got[b][0][0] == want[0][0]
+        for doc, score in got[b]:
+            assert score == pytest.approx(ref[doc], rel=0.05, abs=0.02)
+
+
+def test_mesh_sharded_two_phase_ragged_tail(corpus):
+    """Two-phase with a short tail shard: padded doc-major rows never
+    surface (their scores are 0 and ids are filtered by the n_docs mask)."""
+    from splade_tpu.parallel.mesh import make_mesh
+    from splade_tpu.ops.postings_index import MeshShardedPostingsIndex
+
+    mesh = make_mesh()
+    post = MeshShardedPostingsIndex(V, mesh, n_postings=8, query_top_t=8,
+                                    approx=False, rescore_candidates=16)
+    for i, (idx, val) in enumerate(corpus[:43]):  # 43 % 8 != 0
+        post.add(f"d{i}", idx, val)
+    post.build()
+    qi, qv = synth_queries(b=8)
+    for res in post.search_topk(qi, qv, k=10):
+        for doc, score in res:
+            assert doc in {f"d{i}" for i in range(43)}
+            assert score > 0

@@ -359,3 +359,43 @@ def test_two_phase_k_clamped_to_candidates(engine):
                             query_max_length=16)
     hits = engine2.search("문서 3", k=10)
     assert 0 < len(hits) <= 4
+
+
+def test_mesh_postings_engine_matches_single_device(engine):
+    """ServingEngine over a MeshShardedPostingsIndex (8 virtual devices,
+    two-phase): pod-scale serving returns the same docs as the
+    single-device two-phase postings engine."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    docs = [(f"doc{i}", f"문서 {i} 텍스트 {'가나다라마바사'[i % 7]}")
+            for i in range(40)]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import (MeshShardedPostingsIndex,
+                                               TpuPostingsIndex)
+    from splade_tpu.parallel.mesh import make_mesh
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    vecs = enc.encode_documents([t for _, t in docs])
+    kw = dict(n_postings=64, query_top_t=16, approx=False,
+              rescore_candidates=32)
+    single = TpuPostingsIndex(VOCAB, **kw)
+    meshed = MeshShardedPostingsIndex(VOCAB, make_mesh(), **kw)
+    for index in (single, meshed):
+        index.add_batch([d for d, _ in docs], vecs)
+        index.build()
+    e1 = ServingEngine(model, params, tok, single, query_top_k=16,
+                       query_max_length=16)
+    e2 = ServingEngine(model, params, tok, meshed, query_top_k=16,
+                       query_max_length=16)
+    assert e2._postings and e2._postings_two_phase
+    queries = ["가나다 검색", "문서 7"]
+    r1 = e1.search_batch(queries, k=5)
+    r2 = e2.search_batch(queries, k=5)
+    for a, b in zip(r1, r2):
+        assert [d for d, _ in a] == [d for d, _ in b]
+        np.testing.assert_allclose([s for _, s in a], [s for _, s in b],
+                                   rtol=5e-2)
