@@ -129,8 +129,11 @@ def _sorted_segment_topk(rows_d, contrib, k: int):
     scores = jnp.where(jnp.concatenate([edge, one], 1), seg, -jnp.inf)
     vals, pos = jax.lax.top_k(scores, min(k, E))
     out_ids = jnp.take_along_axis(ids, pos, axis=1)
-    valid = vals > -jnp.inf
-    return jnp.where(valid, vals, 0.0), jnp.where(valid, out_ids, 0)
+    # slots beyond the distinct-doc count keep val=-inf (id 0): callers can
+    # tell fillers from real zero-score docs — two-phase must NOT rescore
+    # fillers (each would resurface as a duplicate of doc 0 with doc 0's
+    # genuine score), and search_topk's `v > 0` filter drops them.
+    return vals, jnp.where(vals > -jnp.inf, out_ids, 0)
 
 
 def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
@@ -190,16 +193,20 @@ def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
     if phase1_dtype is None:
         phase1_dtype = jnp.bfloat16
     B = q_idx.shape[0]
-    _, cand = postings_score_topk(post_docs, post_w, scale, q_idx, q_val,
-                                  n_candidates, n_docs, approx,
-                                  acc_dtype=phase1_dtype,
-                                  scoring=scoring)                 # [B, C]
+    p1_vals, cand = postings_score_topk(post_docs, post_w, scale, q_idx,
+                                        q_val, n_candidates, n_docs, approx,
+                                        acc_dtype=phase1_dtype,
+                                        scoring=scoring)           # [B, C]
     qd = jnp.zeros((B, vocab_size + 1), jnp.float32)  # col V: pad terms -> 0
     qd = qd.at[jnp.arange(B)[:, None], q_idx].add(q_val)
     terms = d_terms[cand].astype(jnp.int32)  # d_terms may be uint16 [B, C, M]
     w = d_vals[cand].astype(jnp.float32) * d_scale[cand][:, :, None]
     qv = qd[jnp.arange(B)[:, None, None], terms]                   # [B, C, M]
     scores = (qv * w).sum(-1)                                      # [B, C]
+    # sort-mode phase 1 marks filler slots (beyond the distinct-doc pool)
+    # with -inf and doc id 0; rescoring them would duplicate doc 0 with its
+    # genuine score, so keep them -inf (scatter-mode vals are finite: no-op)
+    scores = jnp.where(p1_vals == -jnp.inf, -jnp.inf, scores)
     # under sort scoring the candidate pool is capped at T*P, which may be
     # smaller than n_candidates — clamp k to what phase 1 actually returned
     vals, pos = jax.lax.top_k(scores, min(k, scores.shape[1]))
@@ -497,6 +504,12 @@ class TpuPostingsIndex:
                                 np.asarray(values)[None], k)[0]
 
     # ---------------------------------------------------------------- info
+    def max_results(self) -> int:
+        """Largest k a search can honor (two-phase caps it at the
+        candidate-pool size)."""
+        n = len(self.doc_ids)
+        return min(n, self.rescore_candidates) if self.rescore_candidates else n
+
     def __len__(self) -> int:
         return len(self.doc_ids)
 
@@ -525,13 +538,36 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
     def __init__(self, vocab_size: int, mesh, n_postings: int = 2048,
                  query_top_t: int = 32, batch_pad: int = 8,
                  approx: bool = True, rescore_candidates: int = 0,
-                 scoring: str = "auto"):
+                 phase1_acc: str = "auto", scoring: str = "auto"):
         super().__init__(vocab_size, n_postings=n_postings,
                          query_top_t=query_top_t, batch_pad=batch_pad,
                          approx=approx, rescore_candidates=rescore_candidates,
-                         scoring=scoring)
+                         phase1_acc=phase1_acc, scoring=scoring)
         self.mesh = mesh
         self.n_shards = int(mesh.devices.size)
+
+    def max_results(self) -> int:
+        """Largest k a search can honor: D shards each rescore at most
+        min(rescore_candidates, shard_size) candidates (vs the base class's
+        single pool of rescore_candidates)."""
+        n = len(self.doc_ids)
+        if not self.rescore_candidates:
+            return n
+        return min(n, self.n_shards *
+                   min(self.rescore_candidates, self._shard_size))
+
+    def jit_shardings(self, two_phase: bool):
+        """NamedShardings of (*_built, *_doc_major?) in search-arg order —
+        the single owner of the array-layout/sharding contract, consumed by
+        _make_search and the serving engine's mesh-fused path."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        rep = NamedSharding(self.mesh, P())
+        sh3 = NamedSharding(self.mesh, P(axis, None, None))
+        sh2 = NamedSharding(self.mesh, P(axis, None))
+        arrs = (sh3, sh3, sh2) + ((sh3, sh3, sh2) if two_phase else ())
+        return arrs, rep
 
     def build(self) -> None:
         import jax
@@ -592,32 +628,25 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
 
     def _make_search(self) -> None:
         import jax
-        import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
         per = self._shard_size
         C = min(self.rescore_candidates, per) if self.rescore_candidates else 0
-        axis = self.mesh.axis_names[0]
         search, search_two_phase = make_mesh_postings_search_fns(
             n_shards=self.n_shards, shard_size=per, n_docs=len(self.doc_ids),
             vocab_size=self.vocab_size, n_candidates=C, approx=self.approx,
             acc_dtype=self._acc_dtype(), scoring=self.resolved_scoring())
 
-        rep = NamedSharding(self.mesh, P())
-        sh3 = NamedSharding(self.mesh, P(axis, None, None))
-        sh2 = NamedSharding(self.mesh, P(axis, None))
+        arrs, rep = self.jit_shardings(two_phase=bool(C))
         if C:
             jitted2 = jax.jit(
                 search_two_phase, static_argnums=8,
-                in_shardings=(sh3, sh3, sh2, sh3, sh3, sh2, rep, rep),
-                out_shardings=(rep, rep))
+                in_shardings=arrs + (rep, rep), out_shardings=(rep, rep))
             self._search_jit = lambda qi, qv, k: jitted2(
                 *self._built, *self._doc_major, qi, qv, k)
         else:
             jitted = jax.jit(
                 search, static_argnums=5,
-                in_shardings=(sh3, sh3, sh2, rep, rep),
-                out_shardings=(rep, rep))
+                in_shardings=arrs + (rep, rep), out_shardings=(rep, rep))
             self._search_jit = lambda qi, qv, k: jitted(*self._built,
                                                         qi, qv, k)
 

@@ -65,6 +65,22 @@ def make_fused_search_fn(model, banned, query_top_k: int, is_int8: bool):
     return fused_search
 
 
+def _make_encode_query(model, banned, top_t: int):
+    """Shared query-encode closure for every fused serving path: ModernBERT
+    forward, banned-token zeroing, top-T truncation -> ([B,T] vals, ids)."""
+    import jax
+    import jax.numpy as jnp
+
+    def encode_query(p, ids, mask):
+        repr_, _ = model.apply({"params": p}, ids, mask)    # [B, V]
+        repr_ = repr_.astype(jnp.float32)
+        if banned is not None:
+            repr_ = jnp.where(banned[None, :], 0.0, repr_)
+        return jax.lax.top_k(repr_, top_t)                   # [B, T] x2
+
+    return encode_query
+
+
 def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
                                   approx: bool = True, vocab_size: int = 0,
                                   n_candidates: int = 0, acc_dtype=None,
@@ -78,18 +94,10 @@ def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
       (params, post_docs, post_w, term_scale, d_terms, d_vals, d_scale,
        ids, mask, k)
     both -> (scores [B,k], doc_indices [B,k])."""
-    import jax
-    import jax.numpy as jnp
-
     from splade_tpu.ops.postings_index import (postings_score_topk,
                                                postings_two_phase_topk)
 
-    def encode_query(p, ids, mask):
-        repr_, _ = model.apply({"params": p}, ids, mask)    # [B, V]
-        repr_ = repr_.astype(jnp.float32)
-        if banned is not None:
-            repr_ = jnp.where(banned[None, :], 0.0, repr_)
-        return jax.lax.top_k(repr_, top_t)                   # [B, T] x2
+    encode_query = _make_encode_query(model, banned, top_t)
 
     if n_candidates:
         def fused2(p, post_docs, post_w, term_scale, d_terms, d_vals,
@@ -119,31 +127,18 @@ def make_fused_mesh_postings_jit(model, banned, index):
     jitted fn (shardings baked in); arg order matches the single-device
     fused fns so ServingEngine.search_batch is backend-agnostic."""
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from splade_tpu.ops.postings_index import make_mesh_postings_search_fns
 
     per = index._shard_size
     C = min(index.rescore_candidates, per) if index.rescore_candidates else 0
-    top_t = index.query_top_t
     search, search_two_phase = make_mesh_postings_search_fns(
         n_shards=index.n_shards, shard_size=per, n_docs=len(index),
         vocab_size=index.vocab_size, n_candidates=C, approx=index.approx,
         acc_dtype=index._acc_dtype(), scoring=index.resolved_scoring())
-
-    def encode_query(p, ids, mask):
-        repr_, _ = model.apply({"params": p}, ids, mask)    # [B, V]
-        repr_ = repr_.astype(jnp.float32)
-        if banned is not None:
-            repr_ = jnp.where(banned[None, :], 0.0, repr_)
-        return jax.lax.top_k(repr_, top_t)                   # [B, T] x2
-
-    mesh = index.mesh
-    axis = mesh.axis_names[0]
-    rep = NamedSharding(mesh, P())
-    sh3 = NamedSharding(mesh, P(axis, None, None))
-    sh2 = NamedSharding(mesh, P(axis, None))
+    encode_query = _make_encode_query(model, banned, index.query_top_t)
+    # the index owns the sharding contract of (*_built, *_doc_major?)
+    arrs, rep = index.jit_shardings(two_phase=bool(C))
 
     if C:
         def fused2(p, post_docs, post_w, term_scale, d_terms, d_vals,
@@ -153,8 +148,7 @@ def make_fused_mesh_postings_jit(model, banned, index):
                                     d_vals, d_scale, q_idx, q_val, k)
 
         return jax.jit(fused2, static_argnums=(9,),
-                       in_shardings=(rep, sh3, sh3, sh2, sh3, sh3, sh2,
-                                     rep, rep),
+                       in_shardings=(rep,) + arrs + (rep, rep),
                        out_shardings=(rep, rep))
 
     def fused(p, post_docs, post_w, term_scale, ids, mask, k):
@@ -162,7 +156,7 @@ def make_fused_mesh_postings_jit(model, banned, index):
         return search(post_docs, post_w, term_scale, q_idx, q_val, k)
 
     return jax.jit(fused, static_argnums=(6,),
-                   in_shardings=(rep, sh3, sh3, sh2, rep, rep),
+                   in_shardings=(rep,) + arrs + (rep, rep),
                    out_shardings=(rep, rep))
 
 
@@ -231,7 +225,10 @@ class ServingEngine:
         self._postings_n = len(self.index)
         C = min(self.index.rescore_candidates, self._postings_n)
         self._postings_two_phase = bool(C)
-        self._postings_C = C
+        # largest honorable k: the candidate-pool size — for a mesh index
+        # that is D * min(rescore, shard_size), NOT rescore (each shard
+        # rescores its own pool)
+        self._postings_C = self.index.max_results() if C else 0
         if isinstance(self.index, MeshShardedPostingsIndex):
             self._fused_jit = make_fused_mesh_postings_jit(
                 self._model, self._banned, self.index)

@@ -358,3 +358,46 @@ def test_mesh_sharded_two_phase_ragged_tail(corpus):
         for doc, score in res:
             assert doc in {f"d{i}" for i in range(43)}
             assert score > 0
+
+
+def test_sort_two_phase_no_filler_duplicates():
+    """Sort-mode phase-1 filler slots (beyond the distinct gathered pool)
+    must NOT be rescored: each would come back as a duplicate of doc 0
+    carrying doc 0's genuine score."""
+    post = TpuPostingsIndex(V, n_postings=8, query_top_t=4, approx=False,
+                            rescore_candidates=32, scoring="sort")
+    rng = np.random.default_rng(3)
+    for i in range(10):
+        idx = rng.choice(V, size=6, replace=False).astype(np.int32)
+        post.add(f"d{i}", idx, np.abs(rng.normal(size=6)).astype(np.float32) + 0.5)
+    # make doc 0 score HIGH on the probe terms so filler duplicates of it
+    # would beat real hits if the bug existed
+    probe = np.array([7, 11, 13], np.int32)
+    post._doc_idx[0] = np.concatenate([post._doc_idx[0], probe])
+    post._doc_val[0] = np.concatenate(
+        [post._doc_val[0], np.full(3, 5.0, np.float32)])
+    post.nnz += 3
+    post.build()
+    res = post.search_vector(probe, np.ones(3, np.float32), k=10)
+    docs = [d for d, _ in res]
+    assert len(docs) == len(set(docs)), f"duplicate docs: {docs}"
+    assert all(s > 0 for _, s in res)
+
+
+def test_mesh_max_results_exceeds_per_shard_rescore(corpus):
+    """k > rescore_candidates on a mesh index: the merged pool holds
+    D * min(rescore, per) exact scores, so more than `rescore` results
+    must come back (the single-device invariant would truncate)."""
+    from splade_tpu.parallel.mesh import make_mesh
+    from splade_tpu.ops.postings_index import MeshShardedPostingsIndex
+
+    mesh = make_mesh()
+    post = MeshShardedPostingsIndex(V, mesh, n_postings=64, query_top_t=8,
+                                    approx=False, rescore_candidates=5)
+    for i, (idx, val) in enumerate(corpus):
+        post.add(f"d{i}", idx, val)
+    post.build()
+    assert post.max_results() == 40  # 8 shards x 5
+    qi, qv = synth_queries(b=4, t=6)
+    res = post.search_topk(qi, qv, k=30)
+    assert max(len(r) for r in res) > 5  # not clamped to rescore=5
