@@ -26,9 +26,10 @@ class V33ModelConfig:
     """Rematerialize encoder layers (jax.checkpoint) to trade FLOPs for HBM."""
     fused_splade_head: str = "auto"
     """'auto' | 'fused' | 'xla': how to compute the 50K-vocab projection +
-    masked max-pool. 'fused' streams vocab tiles and never materializes the
-    [B, S, V] logits tensor; 'xla' is the naive reference-shaped path used
-    for parity testing; 'auto' picks 'fused' on TPU."""
+    masked max-pool. 'auto' = the XLA-streamed vocab-tile path (never
+    materializes the [B, S, V] logits tensor; measured equal to the hand
+    Pallas kernel on v5e — docs/ARCHITECTURE.md §1); 'fused' = the Pallas
+    kernel; 'xla' = the naive reference-shaped path for parity testing."""
 
 
 @dataclass

@@ -44,9 +44,15 @@ class ShardedBatchIterator:
         self.process_count = process_count
         self.prefetch_depth = max(prefetch_depth, 0)
 
-    def set_epoch(self, epoch: int) -> None:
-        """Reseed the permutation (reference: DistributedSampler.set_epoch)."""
+    def set_epoch(self, epoch: int, skip_batches: int = 0) -> None:
+        """Reseed the permutation (reference: DistributedSampler.set_epoch).
+
+        ``skip_batches`` fast-forwards the epoch without tokenizing or
+        collating the skipped batches (mid-epoch resume: the permutation is
+        a pure function of seed+epoch, so skipping over raw indices
+        reproduces the uninterrupted run at zero collation cost)."""
         self.epoch = epoch
+        self.skip_batches = skip_batches
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -70,7 +76,7 @@ class ShardedBatchIterator:
     def _batches(self) -> Iterator[Dict[str, Any]]:
         idx = self._indices()
         nb = len(self)
-        for b in range(nb):
+        for b in range(getattr(self, "skip_batches", 0), nb):
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
             yield self.collate_fn([self.dataset[int(i)] for i in chunk])
 

@@ -36,7 +36,12 @@ _pending_writes: list = []  # async writer threads still in flight
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # np.array (NOT np.asarray): asarray can alias the device buffer on
+    # some backends (CPU), and the train step DONATES params/opt_state —
+    # an async writer serializing an aliased view would race the next
+    # optimizer step and mix values from two steps in one checkpoint.
+    return jax.tree_util.tree_map(
+        lambda x: np.array(x) if hasattr(x, "shape") else x, tree)
 
 
 def _shape_template(tree: Any) -> Any:

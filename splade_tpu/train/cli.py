@@ -80,6 +80,7 @@ def main(argv: Optional[list] = None) -> int:
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from splade_tpu.utils.runtime import setup_jax_cache
 
@@ -118,8 +119,12 @@ def main(argv: Optional[list] = None) -> int:
         vocab_size=len(tokenizer), dtype=dtype, remat=cfg.model.remat,
         pad_token_id=tokenizer.pad_token_id,
     )
-    pool_impl = {"xla": "logits", "fused": "pallas"}.get(
-        cfg.model.fused_splade_head, "streamed")
+    pool_mapping = {"auto": "streamed", "fused": "pallas", "xla": "logits"}
+    if cfg.model.fused_splade_head not in pool_mapping:
+        raise ValueError(
+            f"model.fused_splade_head: {cfg.model.fused_splade_head!r} "
+            f"(choose from {sorted(pool_mapping)})")
+    pool_impl = pool_mapping[cfg.model.fused_splade_head]
     model = SpladeEncoder(mconfig, pool_impl=pool_impl,
                           with_token_weights=False)
     rng = jax.random.PRNGKey(cfg.training.seed)
@@ -142,6 +147,21 @@ def main(argv: Optional[list] = None) -> int:
     ckpt = args.checkpoint
     if args.resume and not ckpt:
         ckpt = find_latest_checkpoint(out_dir)
+    if jax.process_count() > 1:
+        # Checkpoints are written by process 0 only; every process restores
+        # them itself, which is only sound on a shared filesystem. If hosts
+        # disagree on what (or whether) to restore, params diverge silently
+        # under the replicated sharding — fail loudly instead.
+        from jax.experimental import multihost_utils
+
+        local = np.frombuffer(
+            f"{ckpt or ''}".encode()[:256].ljust(256), np.uint8)
+        if not np.array_equal(
+                multihost_utils.broadcast_one_to_all(local), local):
+            raise RuntimeError(
+                f"resume checkpoint mismatch across hosts (process "
+                f"{jax.process_index()} sees {ckpt!r}): output_dir must be "
+                "a shared filesystem for multi-host resume")
     if ckpt:
         trainer.state, meta = load_checkpoint(ckpt, trainer.state)
         if meta["full_resume"]:

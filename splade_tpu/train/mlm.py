@@ -419,6 +419,7 @@ class MLMTrainer:
             cfg.epochs, self.steps_per_epoch, self.global_batch, self.accum,
             cfg.max_length, len(self.train_rows), self.mesh.devices.size)
         t0 = time.time()
+        run_start_step = int(self.state.step)  # exclude pre-resume steps
         tokens_per_step = self.global_batch * self.accum * cfg.max_length
         from splade_tpu.train.checkpoint import save_checkpoint
 
@@ -451,7 +452,8 @@ class MLMTrainer:
                             f"non-finite MLM loss at step {gstep}")
                     host["epoch"] = epoch
                     host["tokens_per_sec"] = (
-                        tokens_per_step * gstep / max(time.time() - t0, 1e-9))
+                        tokens_per_step * (gstep - run_start_step)
+                        / max(time.time() - t0, 1e-9))
                     self.tracker.log(gstep, host)
                     self.writer.scalars(host, gstep, prefix="train/")
                     logger.info(

@@ -28,15 +28,6 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
-    def apply_gradients(self, grads: Any) -> "TrainState":
-        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
-        return self.replace(
-            step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
-            opt_state=new_opt,
-        )
-
-
 def no_decay_mask(params: Any) -> Any:
     """True where weight decay applies: everything except LayerNorm scales,
     biases, and the decoder bias (reference: train_v33_ddp.py:560-581)."""

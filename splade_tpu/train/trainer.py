@@ -175,8 +175,11 @@ class Trainer:
         self.model = model
         self.mesh = mesh or make_mesh(cfg.mesh.num_data, cfg.mesh.data_axis)
         self.output_dir = output_dir or cfg.training.output_dir
+        if evaluator is None and val_data is not None:
+            from splade_tpu.train.eval import MidTrainingEvaluator
+
+            evaluator = MidTrainingEvaluator(list(val_data), collator)
         self.evaluator = evaluator
-        self.val_data = val_data
 
         n_dev = self.mesh.devices.size
         self.global_batch = cfg.data.batch_size * n_dev
@@ -217,14 +220,29 @@ class Trainer:
 
         install_preemption_handler(self)
 
-    def _macro_batches(self, epoch: int) -> Iterable[Dict[str, np.ndarray]]:
-        self.loader.set_epoch(epoch)
+    def _macro_batches(self, epoch: int,
+                       skip_macros: int = 0) -> Iterable[Dict[str, np.ndarray]]:
+        self.loader.set_epoch(epoch, skip_batches=skip_macros * self.accum)
         bucket: List[Dict[str, Any]] = []
         for mb in self.loader:
             bucket.append(mb)
             if len(bucket) == self.accum:
                 yield stack_microbatches(bucket)
                 bucket = []
+
+    def _shard_batch(self, macro: Dict[str, np.ndarray]):
+        """Host batch -> device batch. Single host: device_put against the
+        (batch-axis) sharding. Multi host: each process holds only its 1/P
+        slice, and device_put with a GLOBAL sharding would treat the local
+        slice as the whole batch (dropping data) — assemble the global
+        array from per-process shards instead."""
+        if self.batch_sharding is None:
+            return macro
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.batch_sharding, np.asarray(x)), macro)
+        return jax.device_put(macro, self.batch_sharding)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg.training
@@ -236,15 +254,13 @@ class Trainer:
         # already consumed (per the restored step counter) reproduces the
         # uninterrupted run bitwise. The reference can only resume at epoch
         # boundaries (train_v33_ddp.py:604-619).
-        done_in_epoch = int(self.state.step) - (epoch - 1) * self.steps_per_epoch
-        for i, macro in enumerate(self._macro_batches(epoch)):
-            if i < done_in_epoch:
-                continue
+        done_in_epoch = max(
+            0, int(self.state.step) - (epoch - 1) * self.steps_per_epoch)
+        for macro in self._macro_batches(epoch, skip_macros=done_in_epoch):
             if self._preempted or (
                     cfg.max_steps and int(self.state.step) >= cfg.max_steps):
                 break
-            device_batch = (jax.device_put(macro, self.batch_sharding)
-                            if self.batch_sharding is not None else macro)
+            device_batch = self._shard_batch(macro)
             params, opt_state, step, metrics = self.step_fn(
                 self.state.params, self.state.opt_state, self.state.step,
                 device_batch)

@@ -177,3 +177,26 @@ def test_stack_microbatches_pads_mixed_buckets():
     assert macro["positive_input_ids"].shape == (2, 1, 64)
     # padded region of the short micro-batch is fully masked
     assert macro["positive_attention_mask"][0, 0, 16:].sum() == 0
+
+
+def test_sharded_iterator_skip_batches_fast_forward(jsonl_dir):
+    """set_epoch(skip_batches=k): yields exactly the tail of the epoch and
+    never collates the skipped batches (mid-epoch resume must not pay
+    tokenization for work already done)."""
+    ds = load_training_data(str(jsonl_dir / "train_*.jsonl"))
+    collated = []
+    def spy(rows):
+        out = [r["query"] for r in rows]
+        collated.append(out)
+        return out
+
+    it = ShardedBatchIterator(ds, spy, batch_size=1, seed=7, epoch=0,
+                              prefetch_depth=0)
+    full = list(it)
+    collated.clear()
+    it.set_epoch(0, skip_batches=2)
+    tail = list(it)
+    assert tail == full[2:]
+    assert collated == full[2:]  # skipped batches were never collated
+    it.set_epoch(1)  # plain set_epoch resets the skip
+    assert len(list(it)) == len(full)
