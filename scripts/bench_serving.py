@@ -100,7 +100,7 @@ def main() -> int:
 
     setup_logging(None)
     tokenizer = create_tokenizer(args.tokenizer or args.checkpoint)
-    enc = SparseEncoderV33.from_checkpoint(args.checkpoint, tokenizer)
+    enc = SparseEncoderV33.from_any(args.checkpoint, tokenizer)
     if args.synthetic_docs:
         import numpy as np
 

@@ -153,6 +153,16 @@ class SparseEncoderV33:
         return self.encode_queries([text])[0]
 
     @classmethod
+    def from_any(cls, path: str, tokenizer=None, **kwargs) -> "SparseEncoderV33":
+        """Load from either artifact format: a training checkpoint dir
+        (model.msgpack) or an exported HF dir (config.json + safetensors)."""
+        from pathlib import Path
+
+        if (Path(path) / "model.msgpack").exists():
+            return cls.from_checkpoint(path, tokenizer, **kwargs)
+        return cls.from_hf_dir(path, tokenizer, **kwargs)
+
+    @classmethod
     def from_checkpoint(cls, ckpt_dir: str, tokenizer, **kwargs) -> "SparseEncoderV33":
         """Load from a training checkpoint dir (model.msgpack)."""
         import jax

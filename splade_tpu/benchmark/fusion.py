@@ -19,17 +19,20 @@ class RRFFusion:
         self.k = k
 
     def fuse(self, result_lists: Sequence[Ranked], top_k: int = 10) -> List[Tuple[str, float]]:
+        # Two passes over the union of docs so the missing-doc penalty is
+        # symmetric: a doc first retrieved by a LATER list still pays every
+        # earlier list's penalty (a single incremental pass skews fused
+        # scores toward docs from earlier-listed searchers).
+        ranks = [
+            {doc: rank for rank, (doc, _) in enumerate(results, start=1)}
+            for results in result_lists
+        ]
+        union = set().union(*ranks) if ranks else set()
         scores: Dict[str, float] = {}
-        for results in result_lists:
-            penalty_rank = len(results) + 1
-            seen = set()
-            for rank, (doc, _) in enumerate(results, start=1):
-                scores[doc] = scores.get(doc, 0.0) + 1.0 / (self.k + rank)
-                seen.add(doc)
-            # Docs missing from this list get the penalty rank.
-            for doc in scores:
-                if doc not in seen:
-                    scores[doc] += 1.0 / (self.k + penalty_rank)
+        for doc in union:
+            scores[doc] = sum(
+                1.0 / (self.k + r.get(doc, len(results) + 1))
+                for r, results in zip(ranks, result_lists))
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:top_k]
 

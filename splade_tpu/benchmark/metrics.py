@@ -113,17 +113,35 @@ def bootstrap_ci(
     alpha: float = 0.05,
     seed: int = 42,
 ) -> Dict[str, float]:
-    """Percentile bootstrap CI (reference: metrics.py:183-215)."""
+    """Percentile bootstrap CI (reference: metrics.py:183-215).
+
+    Per-query values are computed ONCE and resampled vectorized — the naive
+    form (full aggregate_metrics per resample) recomputes every metric and
+    four percentile sorts n_boot times just to read one number."""
     rng = np.random.default_rng(seed)
     n = len(results)
     if n == 0:
         return {"lower": 0.0, "upper": 0.0, "mean": 0.0}
-    vals = []
-    arr = list(results)
-    for _ in range(n_boot):
-        sample = [arr[i] for i in rng.integers(0, n, size=n)]
-        vals.append(aggregate_metrics(sample)[metric])
-    vals = np.asarray(vals)
+    if metric.startswith("recall@"):
+        k = int(metric.split("@")[1])
+        per_q = np.asarray([1.0 if (r.hit_rank and r.hit_rank <= k) else 0.0
+                            for r in results])
+    elif metric == "mrr":
+        per_q = np.asarray([r.reciprocal_rank for r in results])
+    elif metric.startswith("ndcg@"):
+        k = int(metric.split("@")[1])
+        per_q = np.asarray([ndcg_at_k(r, k) for r in results])
+    elif metric.startswith("latency"):
+        per_q = np.asarray([r.latency_ms for r in results])
+    else:
+        raise ValueError(f"bootstrap_ci: unsupported metric {metric!r}")
+    idx = rng.integers(0, n, size=(n_boot, n))
+    samples = per_q[idx]                                  # [n_boot, n]
+    if metric.startswith("latency_p"):
+        q = float(metric.split("_p")[1].split("_")[0])
+        vals = np.percentile(samples, q, axis=1)
+    else:
+        vals = samples.mean(axis=1)
     return {
         "lower": float(np.percentile(vals, 100 * alpha / 2)),
         "upper": float(np.percentile(vals, 100 * (1 - alpha / 2))),

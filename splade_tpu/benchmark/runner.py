@@ -239,19 +239,31 @@ def main(argv: Optional[list] = None) -> int:
 
     tokenizer = create_tokenizer()
     if args.dataset == "triplet-val":
+        if not args.val_files:
+            raise SystemExit("--dataset triplet-val requires --val-files")
         data = load_triplet_benchmark(args.val_files, args.sample_size)
     else:
         data = load_benchmark(args.dataset)
+        if args.sample_size and len(data.queries) > args.sample_size:
+            # Stratification-free deterministic query sample (reference:
+            # BenchmarkConfig.sample_size, seed 42) — without this the flag
+            # was silently ignored for HF/local datasets.
+            import numpy as _np
+
+            keep = set(_np.random.default_rng(42).choice(
+                sorted(data.queries), size=args.sample_size, replace=False))
+            data.queries = {q: t for q, t in data.queries.items() if q in keep}
+            data.qrels = {q: r for q, r in data.qrels.items() if q in keep}
+            logger.info("sampled %d queries (--sample-size)", len(keep))
 
     sparse_encoder = None
+    if args.encodings and (args.no_sparse or not args.checkpoint):
+        raise SystemExit("--encodings needs a sparse encoder "
+                         "(--checkpoint without --no-sparse)")
     if args.checkpoint and not args.no_sparse:
         from splade_tpu.benchmark.encoders import SparseEncoderV33
 
-        ckpt = Path(args.checkpoint)
-        if (ckpt / "model.msgpack").exists():
-            sparse_encoder = SparseEncoderV33.from_checkpoint(str(ckpt), tokenizer)
-        else:
-            sparse_encoder = SparseEncoderV33.from_hf_dir(str(ckpt), tokenizer)
+        sparse_encoder = SparseEncoderV33.from_any(args.checkpoint, tokenizer)
 
     external = None
     if args.external_dense:

@@ -61,10 +61,14 @@ class ShardedBatchIterator:
             if self.shuffle else np.arange(n)
         )
         # Pad to a multiple of P so every process sees the same batch count
-        # (reference DistributedSampler wraps around).
+        # (reference DistributedSampler wraps around). np.resize tiles the
+        # permutation as many times as needed — a single slice falls short
+        # when P - n % P > n (e.g. 3 docs on 8 processes), which would give
+        # processes unequal batch counts and deadlock the jitted step's
+        # collectives on the idle hosts.
         P = self.process_count
         if n % P:
-            order = np.concatenate([order, order[: P - n % P]])
+            order = np.resize(order, n + (P - n % P))
         return order[self.process_index::P]
 
     def __len__(self) -> int:
@@ -87,25 +91,44 @@ class ShardedBatchIterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         sentinel = object()
         err: list = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    # bounded put with a stop check: a consumer that
+                    # abandons the epoch early (preemption, max_steps)
+                    # closes the generator and the producer must not stay
+                    # blocked on a full queue forever
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface worker errors to the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
-
+                while not stop.is_set():  # consumer alive: must deliver
+                    try:
+                        q.put(sentinel, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()  # GeneratorExit / break: release the producer
 
 
 def create_dataloader(

@@ -77,7 +77,11 @@ def mine_multi_negatives(
             window = [int(j) for j in order[rank_lo:rank_hi]
                       if pool_texts[j] != row["positive"]][:num_negatives]
             if len(window) < num_negatives:
-                extra = [int(j) for j in order
+                # Fill ONLY from beyond the window (rank >= rank_hi): ranks
+                # 0..rank_lo-1 are excluded by design as likely false
+                # negatives (near-duplicates of the positive) — the whole
+                # point of the 10-50 window.
+                extra = [int(j) for j in order[rank_hi:]
                          if int(j) not in window
                          and pool_texts[j] != row["positive"]]
                 window.extend(extra[: num_negatives - len(window)])

@@ -34,9 +34,9 @@ def _search_run_batch(engine: ServingEngine):
     """Batch fn over payloads [(query, k)] — one dispatch at max(k)."""
 
     def run(payloads: List[Tuple[str, int]]):
-        kmax = max(k for _, k in payloads)
+        kmax = max(max(k, 1) for _, k in payloads)
         ranked = engine.search_batch([q for q, _ in payloads], k=kmax)
-        return [r[:k] for r, (_, k) in zip(ranked, payloads)]
+        return [r[:max(k, 1)] for r, (_, k) in zip(ranked, payloads)]
 
     return run
 
@@ -111,7 +111,10 @@ def make_handler(service: SearchService):
                     if not (isinstance(queries, list)
                             and all(isinstance(x, str) for x in queries)):
                         return self._reply(400, {"error": "'queries' must be [str]"})
-                    k = int(req.get("k", 10))
+                    k = req.get("k", 10)
+                    if not isinstance(k, int) or isinstance(k, bool) or k < 1:
+                        return self._reply(
+                            400, {"error": "'k' must be a positive integer"})
                     self._reply(200, {"results": service.search(queries, k)})
                 elif self.path == "/encode":
                     texts = req.get("texts")
@@ -175,7 +178,7 @@ def main(argv: Optional[list] = None) -> int:
 
     setup_logging(None)
     tokenizer = create_tokenizer(args.tokenizer or args.checkpoint)
-    enc = SparseEncoderV33.from_checkpoint(args.checkpoint, tokenizer)
+    enc = SparseEncoderV33.from_any(args.checkpoint, tokenizer)
 
     docs = []
     with open(args.docs, encoding="utf-8") as f:

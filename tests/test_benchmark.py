@@ -362,3 +362,32 @@ def test_legacy_config_validate():
     assert any("batch_size" in p for p in problems)
     assert any("temperature" in p for p in problems)
     assert any("ranking loss" in p for p in problems)
+
+
+def test_rrf_missing_doc_penalty_is_order_symmetric():
+    """A doc first seen in a LATER list must still pay every earlier
+    list's missing-doc penalty: fused scores are invariant to the order
+    result lists are passed (found by review: the one-pass form skewed
+    rankings toward docs from earlier-listed searchers)."""
+    l1, l2 = [("A", 1.0)], [("B", 1.0)]
+    f = RRFFusion(k=60)
+    ab = dict(f.fuse([l1, l2], top_k=4))
+    ba = dict(f.fuse([l2, l1], top_k=4))
+    assert ab == ba
+    # both docs: one rank-1 contribution + one penalty (rank len+1=2)
+    assert ab["A"] == pytest.approx(1 / 61 + 1 / 62)
+    assert ab["B"] == pytest.approx(1 / 61 + 1 / 62)
+
+
+def test_bootstrap_ci_metrics_variants():
+    rng = __import__("random").Random(0)
+    results = [
+        QueryResult(f"q{i}", [f"d{i}" if rng.random() < 0.6 else "x"],
+                    {f"d{i}"}, latency_ms=rng.random() * 10)
+        for i in range(100)
+    ]
+    for metric in ("recall@1", "mrr", "ndcg@10", "latency_p50_ms"):
+        ci = bootstrap_ci(results, metric, n_boot=100)
+        assert ci["lower"] <= ci["mean"] <= ci["upper"]
+    with pytest.raises(ValueError):
+        bootstrap_ci(results, "nope")

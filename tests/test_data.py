@@ -200,3 +200,34 @@ def test_sharded_iterator_skip_batches_fast_forward(jsonl_dir):
     assert collated == full[2:]  # skipped batches were never collated
     it.set_epoch(1)  # plain set_epoch resets the skip
     assert len(list(it)) == len(full)
+
+
+def test_sharded_iterator_pad_when_shorter_than_process_count(jsonl_dir):
+    """n < process_count: every process must still see the same batch count
+    (a one-slice pad falls short and would deadlock pod collectives)."""
+    ds = load_training_data(str(jsonl_dir / "train_*.jsonl"))  # 4 rows
+    lens = []
+    for p in range(8):
+        it = ShardedBatchIterator(ds, lambda r: r, batch_size=1, seed=0,
+                                  epoch=0, process_index=p, process_count=8)
+        lens.append(len(it))
+    assert len(set(lens)) == 1 and lens[0] == 1
+
+
+def test_sharded_iterator_abandoned_epoch_releases_producer(jsonl_dir):
+    """Breaking out of iteration mid-epoch (preemption/max_steps) must not
+    leave the prefetch producer blocked on the full queue forever."""
+    import threading
+    import time as _t
+
+    ds = load_training_data(str(jsonl_dir / "train_*.jsonl"))
+    it = ShardedBatchIterator(ds, lambda r: r, batch_size=1, seed=0, epoch=0,
+                              prefetch_depth=1)
+    before = threading.active_count()
+    g = iter(it)
+    next(g)
+    g.close()  # abandon mid-epoch
+    deadline = _t.time() + 5
+    while threading.active_count() > before and _t.time() < deadline:
+        _t.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
