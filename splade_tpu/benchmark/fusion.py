@@ -22,17 +22,19 @@ class RRFFusion:
         # Two passes over the union of docs so the missing-doc penalty is
         # symmetric: a doc first retrieved by a LATER list still pays every
         # earlier list's penalty (a single incremental pass skews fused
-        # scores toward docs from earlier-listed searchers).
+        # scores toward docs from earlier-listed searchers). Penalty rank =
+        # max(list length + 1, 100) shared across lists (reference:
+        # score_fusion.py:74-92).
         ranks = [
             {doc: rank for rank, (doc, _) in enumerate(results, start=1)}
             for results in result_lists
         ]
+        penalty = max([len(r) + 1 for r in result_lists] + [100])
         union = set().union(*ranks) if ranks else set()
         scores: Dict[str, float] = {}
         for doc in union:
-            scores[doc] = sum(
-                1.0 / (self.k + r.get(doc, len(results) + 1))
-                for r, results in zip(ranks, result_lists))
+            scores[doc] = sum(1.0 / (self.k + r.get(doc, penalty))
+                              for r in ranks)
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:top_k]
 
@@ -73,10 +75,17 @@ class WeightedRRFFusion:
 
     def fuse(self, result_lists: Sequence[Ranked], top_k: int = 10) -> List[Tuple[str, float]]:
         assert len(result_lists) == len(self.weights)
+        ranks = [
+            {doc: rank for rank, (doc, _) in enumerate(results, start=1)}
+            for results in result_lists
+        ]
+        # same shared missing-doc penalty as RRF (reference :205-221)
+        penalty = max([len(r) + 1 for r in result_lists] + [100])
+        union = set().union(*ranks) if ranks else set()
         scores: Dict[str, float] = {}
-        for w, results in zip(self.weights, result_lists):
-            for rank, (doc, _) in enumerate(results, start=1):
-                scores[doc] = scores.get(doc, 0.0) + w / (self.k + rank)
+        for doc in union:
+            scores[doc] = sum(w / (self.k + r.get(doc, penalty))
+                              for w, r in zip(self.weights, ranks))
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:top_k]
 

@@ -374,9 +374,13 @@ def test_rrf_missing_doc_penalty_is_order_symmetric():
     ab = dict(f.fuse([l1, l2], top_k=4))
     ba = dict(f.fuse([l2, l1], top_k=4))
     assert ab == ba
-    # both docs: one rank-1 contribution + one penalty (rank len+1=2)
-    assert ab["A"] == pytest.approx(1 / 61 + 1 / 62)
-    assert ab["B"] == pytest.approx(1 / 61 + 1 / 62)
+    # both docs: one rank-1 contribution + the shared penalty rank
+    # max(len+1, 100) = 100 (reference score_fusion.py:79-83)
+    assert ab["A"] == pytest.approx(1 / 61 + 1 / 160)
+    assert ab["B"] == pytest.approx(1 / 61 + 1 / 160)
+    # weighted variant shares the penalty semantics
+    w = dict(WeightedRRFFusion([0.5, 0.5]).fuse([l1, l2], top_k=4))
+    assert w["A"] == pytest.approx(0.5 / 61 + 0.5 / 160)
 
 
 def test_bootstrap_ci_metrics_variants():
