@@ -85,6 +85,9 @@ class RankingMetrics:
         vec = np.asarray(sparse_vec).reshape(-1)
         order = np.argsort(-vec)
         out: List[Tuple[str, float]] = []
+        seen = set()  # distinct ids can decode to one string (word-initial
+        # vs -internal subwords); duplicates would double-count graded
+        # gains in dcg() and push nDCG past 1.0
         for idx in order:
             if vec[idx] <= 0 or len(out) >= top_k:
                 break
@@ -92,7 +95,8 @@ class RankingMetrics:
                 continue
             token = (self.tokenizer.decode([int(idx)]).strip()
                      if self.tokenizer is not None else str(int(idx)))
-            if token:
+            if token and token not in seen:
+                seen.add(token)
                 out.append((token, float(vec[idx])))
         return out
 
@@ -151,6 +155,8 @@ class RankingMetrics:
         assert len(vectors) == len(dataset.items)
         per_item = [self.evaluate_item(v, it, ks)
                     for v, it in zip(vectors, dataset.items)]
+        if not per_item:
+            return {"overall": {}}
         out: Dict[str, Dict[str, float]] = {"overall": _mean_dicts(per_item)}
         for dom in dataset.domains():
             rows = [m for m, it in zip(per_item, dataset.items) if it.domain == dom]

@@ -99,6 +99,11 @@ class InformationGainFilter:
         tgt = np.asarray(tgt_emb, np.float64)
         n, d = tgt.shape
         k = min(self.k, n - 1)
+        if k < 1:
+            # a single pair has no neighbors to regress from: its target is
+            # unexplainable by construction -> neutral gain 0 (kept by any
+            # percentile threshold), not NaN from an empty-axis mean
+            return np.zeros(n, np.float64)
         d2 = ((src[:, None, :] - src[None, :, :]) ** 2).sum(-1)
         np.fill_diagonal(d2, np.inf)
         nbrs = np.argpartition(d2, k - 1, axis=1)[:, :k]  # [n, k]

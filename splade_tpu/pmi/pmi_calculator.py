@@ -28,6 +28,11 @@ class PMICalculator:
             self.N + self.smoothing * len(self.cooc.vocab))
 
     def _p_pair(self, ia: int, ib: int) -> float:
+        # Laplace form (C+k)/(N + k*V^2), exactly the reference's formula
+        # (pmi_calculator.py compute_pmi docstring). NOTE: with k=1 and a
+        # large vocab the k*V^2 term dominates N and biases PMI strongly
+        # negative — use a small smoothing (e.g. 1/V) or raise the
+        # validator threshold accordingly; kept as-is for parity.
         c = self.cooc.matrix[ia, ib]
         return (c + self.smoothing) / (self.N + self.smoothing * len(self.cooc.vocab) ** 2)
 

@@ -1,8 +1,9 @@
 """Synonym-pair validation by PMI threshold.
 
 Reference: src/pmi/synonym_validator.py:117-496 — validates KO-EN synonym
-pairs against corpus PMI with configurable OOV strategies ('reject',
-'accept', 'skip'), produces per-pair results, aggregate stats, and a report.
+pairs against corpus PMI with configurable OOV strategies (REMOVE/KEEP/
+SMOOTH, here 'reject'/'accept'/'smooth'), produces per-pair results,
+aggregate stats, and a report.
 Used to filter synonym expansion data before training.
 """
 
@@ -30,9 +31,13 @@ class SynonymValidator:
         self,
         pmi_calc: PMICalculator,
         threshold: float = 0.0,
-        oov_strategy: str = "reject",  # 'reject' | 'accept' | 'skip'
+        oov_strategy: str = "reject",  # 'reject' | 'accept' | 'smooth'
     ):
-        assert oov_strategy in ("reject", "accept", "skip")
+        """OOV strategies mirror the reference (synonym_validator.py:34-39,
+        :290-298): 'reject' (REMOVE) fails OOV pairs, 'accept' (KEEP)
+        passes them without PMI validation, 'smooth' (SMOOTH) scores them
+        with a neutral PMI of 0 and applies the normal threshold."""
+        assert oov_strategy in ("reject", "accept", "smooth")
         self.pmi_calc = pmi_calc
         self.threshold = threshold
         self.oov_strategy = oov_strategy
@@ -42,8 +47,10 @@ class SynonymValidator:
         if pmi is None:
             if self.oov_strategy == "accept":
                 return ValidationResult(source, target, None, True, "oov_accepted")
-            if self.oov_strategy == "skip":
-                return ValidationResult(source, target, None, False, "oov_skipped")
+            if self.oov_strategy == "smooth":
+                # neutral estimate: OOV pair passes iff threshold <= 0
+                return ValidationResult(source, target, 0.0,
+                                        0.0 >= self.threshold, "oov_smoothed")
             return ValidationResult(source, target, None, False, "oov_rejected")
         if pmi >= self.threshold:
             return ValidationResult(source, target, pmi, True, "pmi_above_threshold")
@@ -56,7 +63,7 @@ class SynonymValidator:
     def stats(results: Sequence[ValidationResult]) -> Dict[str, float]:
         n = len(results)
         valid = sum(r.valid for r in results)
-        oov = sum(1 for r in results if r.pmi is None)
+        oov = sum(1 for r in results if r.reason.startswith("oov"))
         pmis = [r.pmi for r in results if r.pmi is not None]
         return {
             "total": n,

@@ -12,7 +12,6 @@ from typing import Iterable, List, Set
 
 import numpy as np
 
-_MERSENNE = (1 << 61) - 1
 
 
 class ExactDeduplicator:
@@ -41,8 +40,13 @@ class MinHashDeduplicator:
         self.bands = bands
         self.rows = num_perm // bands
         rng = np.random.default_rng(seed)
-        self._a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-        self._b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        # Multiply-shift universal hashing (Dietzfelbinger): odd 64-bit a,
+        # arithmetic deliberately mod 2^64 via uint64 wraparound. A naive
+        # "(a*h + b) % mersenne" in int64 silently overflows (products up
+        # to ~2^122), destroying the universality it claims.
+        self._a = (rng.integers(0, 1 << 62, size=num_perm, dtype=np.uint64)
+                   << np.uint64(1)) | np.uint64(1)
+        self._b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
         self._band_buckets: List[dict] = [dict() for _ in range(bands)]
         self._signatures: List[np.ndarray] = []
 
@@ -53,14 +57,15 @@ class MinHashDeduplicator:
         grams = {t[i:i + self.ngram] for i in range(len(t) - self.ngram + 1)}
         hashes = np.fromiter(
             (int.from_bytes(hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
-                            "little") & ((1 << 61) - 1)
-             for g in grams), dtype=np.int64, count=len(grams))
+                            "little")
+             for g in grams), dtype=np.uint64, count=len(grams))
         return hashes
 
     def signature(self, text: str) -> np.ndarray:
         h = self._shingles(text)  # [G]
-        # (a*h + b) mod p, min over shingles, per permutation
-        vals = (self._a[:, None] * h[None, :] + self._b[:, None]) % _MERSENNE
+        # (a*h + b) mod 2^64 (uint64 wraparound is the intended modulus),
+        # min over shingles, per permutation
+        vals = self._a[:, None] * h[None, :] + self._b[:, None]
         return vals.min(axis=1)  # [num_perm]
 
     @staticmethod

@@ -81,9 +81,7 @@ class TfidfHardNegativeMiner:
         """TF-IDF with smoothed idf, L2-normalized rows (dot = cosine)."""
         tf = self._count_matrix(texts)
         n = tf.shape[0]
-        df = np.bincount(tf.indices[tf.data > 0].astype(np.int64),
-                         minlength=self.num_features)
-        # count each column once per row:
+        # document frequency: count each column once per row
         df = (tf > 0).sum(axis=0).A1
         self._idf = np.log((1 + n) / (1 + df)) + 1.0
         mat = tf.multiply(self._idf[None, :]).tocsr()
@@ -93,10 +91,17 @@ class TfidfHardNegativeMiner:
         return (inv @ mat).tocsr()
 
     # ---------------------------------------------------------- mining
-    def mine(self, queries: Sequence[str], corpus: Sequence[str]
-             ) -> List[List[int]]:
+    def mine(self, queries: Sequence[str], corpus: Sequence[str],
+             k: Optional[int] = None) -> List[List[int]]:
         """Top-k corpus indices per query by TF-IDF cosine (chunked)."""
+        kq = k or self.top_k
         all_texts = list(queries) + list(corpus)
+        # exclude_self: map text -> corpus positions once (not O(B*N) string
+        # compares per chunk)
+        text_pos = {}
+        if self.exclude_self:
+            for c, t in enumerate(corpus):
+                text_pos.setdefault(t, []).append(c)
         mat = self.fit_transform(all_texts)
         q_mat = mat[: len(queries)]
         c_mat = mat[len(queries):]
@@ -105,13 +110,17 @@ class TfidfHardNegativeMiner:
             block = q_mat[start:start + self.chunk_size]
             scores = (block @ c_mat.T).toarray()  # [b, N]
             if self.exclude_self:
-                # queries drawn from the corpus: zero exact matches
-                pass
-            k = min(self.top_k + 1, scores.shape[1])
-            top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+                # queries drawn from the corpus: a doc identical to the
+                # query scores cosine ~1.0 — mask exact text matches so the
+                # query never surfaces as its own "hard negative"
+                for r in range(block.shape[0]):
+                    for c in text_pos.get(all_texts[start + r], ()):
+                        scores[r, c] = -1.0
+            kk = min(kq, scores.shape[1])
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
             for r in range(top.shape[0]):
                 row = top[r][np.argsort(-scores[r, top[r]])]
-                out.append([int(i) for i in row][: self.top_k + 1])
+                out.append([int(i) for i in row][:kq])
         return out
 
     def fill_missing_negatives(self, shard_path: str,
@@ -129,7 +138,10 @@ class TfidfHardNegativeMiner:
                 if not r.get("negative") and not r.get("negatives")]
         if not need:
             return 0
-        mined = self.mine([rows[i]["query"] for i in need], corpus)
+        # +1 slack: the top hit is often the positive itself, which the
+        # loop below filters out
+        mined = self.mine([rows[i]["query"] for i in need], corpus,
+                          k=self.top_k + 1)
         filled = 0
         for i, cand in zip(need, mined):
             pos = rows[i]["positive"]

@@ -90,7 +90,18 @@ class PreprocessingPipeline:
 
     def mine(self, triplets: Sequence[Triplet]) -> List[Triplet]:
         """Fill missing negatives via the configured miner (similarity band;
-        reference: pipeline.py mining stage with min/max score)."""
+        reference: pipeline.py mining stage with min/max score).
+
+        An explicitly passed miner always runs. config.use_bge_m3_mining
+        (the reference's stage toggle) additionally enables mining with a
+        default TF-IDF miner when none was passed; mining_batch_size is
+        applied to encoder miners. Dispatch is on the miner's interface:
+        band search (mining_{min,max}_score) or plain
+        ``mine(queries, corpus)``."""
+        if self.miner is None and self.config.use_bge_m3_mining:
+            from splade_tpu.preprocessing.miners import TfidfHardNegativeMiner
+
+            self.miner = TfidfHardNegativeMiner(top_k=1)
         if self.miner is None:
             return list(triplets)
         need = [i for i, t in enumerate(triplets)
@@ -98,10 +109,16 @@ class PreprocessingPipeline:
         if not need:
             return list(triplets)
         corpus = [t.positive for t in triplets]
-        mined = self.miner.mine_band(
-            [triplets[i].query for i in need], corpus,
-            min_score=self.config.mining_min_score,
-            max_score=self.config.mining_max_score, k=1)
+        if hasattr(self.miner, "batch_size"):
+            self.miner.batch_size = self.config.mining_batch_size
+        if hasattr(self.miner, "mine_band"):
+            mined = self.miner.mine_band(
+                [triplets[i].query for i in need], corpus,
+                min_score=self.config.mining_min_score,
+                max_score=self.config.mining_max_score, k=1)
+        else:
+            mined = self.miner.mine(
+                [triplets[i].query for i in need], corpus, k=2)
         triplets = list(triplets)
         for i, cand in zip(need, mined):
             picks = [corpus[c] for c in cand if corpus[c] != triplets[i].positive]

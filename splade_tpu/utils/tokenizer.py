@@ -23,22 +23,43 @@ _FALLBACK_DIRS = (
 
 
 def resolve_tokenizer_path(name_or_path: Optional[str] = None) -> str:
-    if name_or_path and (Path(name_or_path).exists() or "/" not in name_or_path):
-        if Path(name_or_path).exists():
-            return name_or_path
+    # 1. explicit local path
+    if name_or_path and Path(name_or_path).exists():
+        return name_or_path
+    # 2. env override
     env = os.environ.get("SPLADE_TOKENIZER_PATH")
     if env and Path(env).exists():
         return env
+    # 3. an explicitly requested HF name resolves via the offline cache —
+    # BEFORE the fallback dirs, or an unrelated local artifact would
+    # silently shadow the tokenizer the caller asked for by name.
+    if name_or_path:
+        return name_or_path
+    # 4. known local artifact locations (no name given at all)
     for d in _FALLBACK_DIRS:
         if Path(d).exists():
             return d
-    # Last resort: return the given name and let HF try its offline cache.
-    return name_or_path or "skt/A.X-Encoder-base"
+    return "skt/A.X-Encoder-base"
 
 
 def create_tokenizer(name_or_path: Optional[str] = None):
-    """Load the HF fast tokenizer (reference contract: create_tokenizer)."""
+    """Load the HF fast tokenizer (reference contract: create_tokenizer).
+
+    An explicitly requested name is honored first (offline HF cache); the
+    known local artifact dirs are a LAST resort taken only when that load
+    fails, with a warning — never silently shadowing the requested name."""
+    import logging
+
     from transformers import AutoTokenizer
 
     path = resolve_tokenizer_path(name_or_path)
-    return AutoTokenizer.from_pretrained(path)
+    try:
+        return AutoTokenizer.from_pretrained(path)
+    except (OSError, ValueError) as e:
+        for d in _FALLBACK_DIRS:
+            if Path(d).exists() and str(Path(d)) != str(path):
+                logging.getLogger(__name__).warning(
+                    "tokenizer %r unavailable (%s); falling back to %s",
+                    path, e, d)
+                return AutoTokenizer.from_pretrained(d)
+        raise
