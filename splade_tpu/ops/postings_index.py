@@ -62,6 +62,13 @@ def invert_to_postings(
     assert len(all_vals) < (1 << 32), "packed position field is 32-bit"
     lens = np.fromiter(map(len, doc_idx), np.int64, count=n)
     all_docs = np.repeat(np.arange(n, dtype=np.int32), lens)
+    # Multithreaded C++ builder when available (tools/postings_build):
+    # same contract, O(nnz) bucketing instead of a global sort.
+    from splade_tpu.ops.postings_native import build_postings_native
+
+    native = build_postings_native(all_terms, all_vals, all_docs, V, P)
+    if native is not None:
+        return native
     key = all_terms.astype(np.uint64)
     key <<= np.uint64(48)
     key |= (np.uint16(0xFFFF) -

@@ -1,0 +1,172 @@
+// Parallel impact-ordered truncated-postings builder.
+//
+// Native counterpart of splade_tpu/ops/postings_index.py::invert_to_postings
+// (same output contract: [V, P] doc ids + float32 impacts, impact-ordered
+// per term, zero-padded, plus the truncated-postings count). The Python
+// build is a single-core packed-uint64 sort — ~300 s for 540M postings at
+// 10M docs; this builder replaces the global sort with an O(nnz) counting
+// bucket-by-term pass plus per-term top-P selection, parallelized over
+// threads (reference analogue: tools/idf-compute's rayon parallelism,
+// main.rs:115-186).
+//
+// C ABI (ctypes): see splade_tpu/ops/postings_native.py.
+
+#include <algorithm>
+#include <functional>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Posting {
+  int32_t doc;
+  float val;
+};
+
+inline bool impact_greater(const Posting& a, const Posting& b) {
+  if (a.val != b.val) return a.val > b.val;
+  return a.doc < b.doc;  // deterministic tie-break
+}
+
+void parallel_for(int64_t n, unsigned threads,
+                  const std::function<void(int64_t, int64_t)>& fn) {
+  if (threads <= 1 || n < 1024) {
+    fn(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int64_t chunk = (n + threads - 1) / threads;
+  for (unsigned t = 0; t < threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min<int64_t>(lo + chunk, n);
+    if (lo >= hi) break;
+    pool.emplace_back(fn, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// terms[nnz] (int32 in [0, vocab)), vals[nnz] (float32), doc_of[nnz]
+// (int32 doc index per posting). Outputs post_docs/post_w sized [vocab*P]
+// (caller-allocated, zero-filled here). Returns the number of postings
+// dropped by the cap, or -1 on bad arguments.
+int64_t build_postings(const int32_t* terms, const float* vals,
+                       const int32_t* doc_of, int64_t nnz, int32_t vocab,
+                       int32_t P, int32_t* post_docs, float* post_w,
+                       int32_t n_threads) {
+  if (nnz < 0 || vocab <= 0 || P <= 0) return -1;
+  unsigned threads = n_threads > 0
+                         ? static_cast<unsigned>(n_threads)
+                         : std::max(1u, std::thread::hardware_concurrency());
+
+  // 1) per-term document frequency (sharded histograms, then reduce)
+  std::vector<int64_t> df(static_cast<size_t>(vocab) + 1, 0);
+  {
+    unsigned nshard = std::min<unsigned>(threads, 8);
+    std::vector<std::vector<int64_t>> partial(
+        nshard, std::vector<int64_t>(static_cast<size_t>(vocab), 0));
+    std::vector<std::thread> pool;
+    int64_t chunk = (nnz + nshard - 1) / nshard;
+    for (unsigned t = 0; t < nshard; ++t) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(lo + chunk, nnz);
+      if (lo >= hi) break;
+      pool.emplace_back([&, t, lo, hi] {
+        auto& h = partial[t];
+        for (int64_t i = lo; i < hi; ++i) {
+          int32_t term = terms[i];
+          if (term >= 0 && term < vocab) ++h[term];
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+    for (auto& h : partial)
+      for (int32_t v = 0; v < vocab; ++v) df[v] += h[v];
+  }
+
+  // 2) bucket offsets (exclusive prefix sum) + atomic cursors
+  std::vector<int64_t> offset(static_cast<size_t>(vocab) + 1, 0);
+  for (int32_t v = 0; v < vocab; ++v) offset[v + 1] = offset[v] + df[v];
+  std::vector<Posting> buckets(static_cast<size_t>(nnz));
+  {
+    std::vector<std::atomic<int64_t>> cursor(static_cast<size_t>(vocab));
+    for (int32_t v = 0; v < vocab; ++v)
+      cursor[v].store(offset[v], std::memory_order_relaxed);
+    parallel_for(nnz, threads, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) {
+        int32_t term = terms[i];
+        if (term < 0 || term >= vocab) continue;
+        int64_t slot = cursor[term].fetch_add(1, std::memory_order_relaxed);
+        buckets[slot] = {doc_of[i], vals[i]};
+      }
+    });
+  }
+
+  // 3) per-term top-P selection + impact sort of the kept head
+  std::atomic<int64_t> truncated{0};
+  std::atomic<int32_t> next_term{0};
+  auto worker = [&] {
+    int64_t local_trunc = 0;
+    for (;;) {
+      int32_t v = next_term.fetch_add(1, std::memory_order_relaxed);
+      if (v >= vocab) break;
+      Posting* lo = buckets.data() + offset[v];
+      int64_t n = offset[v + 1] - offset[v];
+      if (n == 0) continue;
+      int64_t keep = std::min<int64_t>(n, P);
+      if (n > keep) {
+        std::nth_element(lo, lo + keep, lo + n, impact_greater);
+        local_trunc += n - keep;
+      }
+      std::sort(lo, lo + keep, impact_greater);
+      int32_t* docs_out = post_docs + static_cast<int64_t>(v) * P;
+      float* w_out = post_w + static_cast<int64_t>(v) * P;
+      for (int64_t j = 0; j < keep; ++j) {
+        docs_out[j] = lo[j].doc;
+        w_out[j] = lo[j].val;
+      }
+    }
+    truncated.fetch_add(local_trunc, std::memory_order_relaxed);
+  };
+  {
+    std::vector<std::thread> pool;
+    for (unsigned t = 1; t < threads; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+  }
+  return truncated.load();
+}
+
+}  // extern "C"
+
+#ifdef POSTINGS_BUILD_SELFTEST
+// Standalone multithreaded self-test for sanitizer runs (TSAN cannot be
+// dlopen'd into an already-running python, so the race check is a binary).
+#include <cstdio>
+#include <random>
+
+int main() {
+  const int64_t n_docs = 2000, nnz = 12;
+  const int32_t V = 500, P = 8;
+  std::mt19937 rng(0);
+  std::vector<int32_t> terms(n_docs * nnz), docs(n_docs * nnz);
+  std::vector<float> vals(n_docs * nnz);
+  for (int64_t i = 0; i < n_docs * nnz; ++i) {
+    terms[i] = static_cast<int32_t>(rng() % V);
+    docs[i] = static_cast<int32_t>(i / nnz);
+    vals[i] = static_cast<float>(rng() % 1000) / 1000.0f + 0.01f;
+  }
+  std::vector<int32_t> pd(static_cast<size_t>(V) * P, 0);
+  std::vector<float> pw(static_cast<size_t>(V) * P, 0.0f);
+  int64_t t = build_postings(terms.data(), vals.data(), docs.data(),
+                             n_docs * nnz, V, P, pd.data(), pw.data(), 4);
+  if (t < 0) return 1;
+  std::printf("SELFTEST-OK truncated=%lld\n", static_cast<long long>(t));
+  return 0;
+}
+#endif
