@@ -335,6 +335,14 @@ class TpuPostingsIndex:
         self._doc_major = None  # (terms [N,M] i32, vals [N,M] i8, scale [N] f32)
         self._search_jit = None
         self.truncated_postings = 0  # dropped by the n_postings cap
+        self._base_n = 0  # docs covered by _built; the rest are the delta
+
+    #: LSM-style incremental adds: documents added AFTER build() become a
+    #: host-side delta segment scored exactly and merged into results, so
+    #: serving never pays a full rebuild (or a fused-jit recompile) per
+    #: add — call compact() to fold the delta in. The mesh subclass opts
+    #: out (per-shard segments would change shard assignment).
+    supports_delta = True
 
     # ---------------------------------------------------------------- build
     def add(self, doc_id: str, indices: np.ndarray, values: np.ndarray) -> None:
@@ -343,7 +351,12 @@ class TpuPostingsIndex:
         self._doc_idx.append(idx)
         self._doc_val.append(np.asarray(values, np.float32))
         self.nnz += len(idx)
-        self._built = None
+        self._on_add()
+
+    def _on_add(self) -> None:
+        if not self.supports_delta:
+            self._built = None
+        self._delta_cache = None
 
     def add_batch(self, doc_ids: Sequence[str],
                   vecs: Sequence[Tuple[np.ndarray, np.ndarray]]) -> None:
@@ -359,7 +372,37 @@ class TpuPostingsIndex:
         self._doc_idx.extend(np.asarray(indices, np.int32))
         self._doc_val.extend(np.asarray(values, np.float32))
         self.nnz += int(np.prod(np.asarray(indices).shape))
-        self._built = None
+        self._on_add()
+
+    @property
+    def delta_count(self) -> int:
+        if not self.supports_delta or self._built is None:
+            return 0
+        return len(self.doc_ids) - self._base_n
+
+    def compact(self) -> None:
+        """Fold the delta segment into the main postings structure."""
+        self.build()
+
+    def score_delta(self, q_indices: np.ndarray,
+                    q_values: np.ndarray) -> np.ndarray:
+        """Exact f32 scores of the delta docs: [B, delta_count] (host-side
+        — the delta is small by policy; compact() when it grows)."""
+        B = len(q_indices)
+        D = self.delta_count
+        if D == 0:
+            return np.zeros((B, 0), np.float32)
+        if getattr(self, "_delta_cache", None) is None:
+            terms, q, dscale = self._doc_major_arrays(
+                self._doc_idx[self._base_n:], self._doc_val[self._base_n:], D)
+            self._delta_cache = (terms.astype(np.int64),
+                                 q.astype(np.float32) * dscale[:, None])
+        terms, vals = self._delta_cache
+        qd = np.zeros((B, self.vocab_size + 1), np.float32)
+        for b in range(B):
+            np.add.at(qd[b], np.asarray(q_indices[b], np.int64),
+                      np.asarray(q_values[b], np.float32))
+        return np.einsum("bdm,dm->bd", qd[:, terms], vals, optimize=True)
 
     def build(self) -> None:
         import jax
@@ -374,6 +417,8 @@ class TpuPostingsIndex:
                        jax.device_put(scale))
         if self.rescore_candidates:
             self._doc_major = self._build_doc_major()
+        self._base_n = n
+        self._delta_cache = None
         self._make_search()
         logger.info(
             "postings index: %d docs, cap P=%d (truncated %.2f%% of "
@@ -496,13 +541,27 @@ class TpuPostingsIndex:
         if pad_b:
             q_indices = np.pad(q_indices, ((0, pad_b), (0, 0)))
             q_values = np.pad(q_values, ((0, pad_b), (0, 0)))
+        # the jitted base search only covers the built segment
+        k_base = min(k, self._base_n)
         vals, idxs = self._search_jit(
-            jnp.asarray(q_indices), jnp.asarray(q_values), k)
+            jnp.asarray(q_indices), jnp.asarray(q_values), k_base)
         vals = np.asarray(vals)[:B]
         idxs = np.asarray(idxs)[:B]
-        return [[(self.doc_ids[int(i)], float(v))
-                 for v, i in zip(vals[b], idxs[b]) if v > 0]
-                for b in range(B)]
+        out = [[(self.doc_ids[int(i)], float(v))
+                for v, i in zip(vals[b], idxs[b]) if v > 0]
+               for b in range(B)]
+        if self.delta_count:
+            # merge the exactly-scored delta segment (docs added since the
+            # last build/compact) into the base results
+            d_scores = self.score_delta(q_indices[:B], q_values[:B])
+            d_ids = self.doc_ids[self._base_n:]
+            for b in range(B):
+                extra = [(d_ids[j], float(s))
+                         for j, s in enumerate(d_scores[b]) if s > 0]
+                if extra:
+                    merged = sorted(out[b] + extra, key=lambda t: -t[1])
+                    out[b] = merged[:k]
+        return out
 
     def search_vector(
         self, indices: np.ndarray, values: np.ndarray, k: int = 10
@@ -541,6 +600,10 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
     than a single-device one with the same P). Subclassing matters: callers
     (e.g. the serving engine) route on ``isinstance(x, TpuPostingsIndex)``.
     """
+
+    # adds after build() would change shard assignment mid-flight: the
+    # mesh index keeps rebuild-on-mutation semantics instead of a delta
+    supports_delta = False
 
     def __init__(self, vocab_size: int, mesh, n_postings: int = 2048,
                  query_top_t: int = 32, batch_pad: int = 8,
@@ -611,6 +674,7 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
             jax.device_put(np.stack(w_stack), sh3),
             jax.device_put(np.stack(scale_stack), sh2),
         )
+        self._base_n = n
         if self.rescore_candidates:
             # per-shard doc-major CSR for exact local rescoring: [D, per, M]
             M = max((len(x) for x in self._doc_idx), default=1)

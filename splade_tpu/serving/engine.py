@@ -179,6 +179,7 @@ class ServingEngine:
         batch_pad: int = 8,
         max_k: int = 100,
         k_tiers: Sequence[int] = (10, 100),
+        delta_compact_threshold: int = 1024,
     ):
         import jax
         import jax.numpy as jnp
@@ -191,6 +192,7 @@ class ServingEngine:
         self.batch_pad = batch_pad
         self.max_k = max_k
         self.k_tiers = tuple(sorted(k_tiers))
+        self.delta_compact_threshold = delta_compact_threshold
         self.params = jax.device_put(params)
         # Reused for /encode and for indexing new documents.
         self.encoder = SparseEncoderV33(
@@ -258,9 +260,18 @@ class ServingEngine:
         """Encode + retrieve for a batch of query strings in one dispatch."""
         import jax.numpy as jnp
 
-        if self._postings and (self.index._built is None
-                               or len(self.index) != self._postings_n):
-            self._build_postings_fused()  # index mutated since build
+        if self._postings:
+            if self.index._built is None:
+                self._build_postings_fused()
+            elif getattr(self.index, "delta_count", 0):
+                # LSM path: small deltas are scored host-side and merged —
+                # no rebuild, no fused-jit recompile. Past the threshold,
+                # compact (fold into postings) and re-make the fused fn.
+                if self.index.delta_count > self.delta_compact_threshold:
+                    self.index.compact()
+                    self._build_postings_fused()
+            elif len(self.index) != self._postings_n:
+                self._build_postings_fused()  # non-delta index mutated
         k = min(max(k, 1), self.max_k, len(self.index))
         k_eff = self._quantize_k(k)
         if self._postings and self._postings_two_phase:
@@ -295,9 +306,22 @@ class ServingEngine:
         # dense pads rows with -inf; postings no-overlap docs score 0 — both
         # are non-results
         keep = (lambda v: v > 0) if self._postings else np.isfinite
-        return [[(doc_ids[int(i)], float(v))
-                 for v, i in zip(vals[b], idxs[b]) if keep(v)]
-                for b in range(B)]
+        out = [[(doc_ids[int(i)], float(v))
+                for v, i in zip(vals[b], idxs[b]) if keep(v)]
+               for b in range(B)]
+        if self._postings and getattr(self.index, "delta_count", 0):
+            # score the delta segment with a separate encode (the fused fn
+            # doesn't expose query vectors); merged exactly, top-k kept
+            q_vecs = self.encoder.encode_queries(list(queries))
+            d_scores = self.index.score_delta([v[0] for v in q_vecs],
+                                              [v[1] for v in q_vecs])
+            d_ids = self.index.doc_ids[self.index._base_n:]
+            for b in range(B):
+                extra = [(d_ids[j], float(s))
+                         for j, s in enumerate(d_scores[b]) if s > 0]
+                if extra:
+                    out[b] = sorted(out[b] + extra, key=lambda t: -t[1])[:k]
+        return out
 
     def warmup(self, max_batch_size: int = 32) -> int:
         """Compile the fused executable for every (batch-bucket, k-tier)

@@ -401,3 +401,47 @@ def test_mesh_max_results_exceeds_per_shard_rescore(corpus):
     qi, qv = synth_queries(b=4, t=6)
     res = post.search_topk(qi, qv, k=30)
     assert max(len(r) for r in res) > 5  # not clamped to rescore=5
+
+
+def test_delta_adds_merge_exactly(corpus):
+    """Docs added after build() are served from the exactly-scored delta
+    segment: results match an index built with everything from scratch."""
+    base, extra = corpus[:250], corpus[250:]
+    inc = TpuPostingsIndex(V, n_postings=512, query_top_t=8, approx=False)
+    full = TpuPostingsIndex(V, n_postings=512, query_top_t=8, approx=False)
+    for i, (idx, val) in enumerate(base):
+        inc.add(f"d{i}", idx, val)
+    inc.build()
+    for i, (idx, val) in enumerate(extra, start=250):
+        inc.add(f"d{i}", idx, val)  # post-build -> delta
+    for i, (idx, val) in enumerate(corpus):
+        full.add(f"d{i}", idx, val)
+    full.build()
+    assert inc.delta_count == 50 and inc._base_n == 250
+    qi, qv = synth_queries(b=16)
+    got_i = inc.search_topk(qi, qv, k=5)
+    got_f = full.search_topk(qi, qv, k=5)
+    for a, b in zip(got_i, got_f):
+        assert a[0][0] == b[0][0]
+        # delta scores are exact f32, base/full are int8-quantized: allow
+        # near-tie swaps but require set agreement
+        assert len({d for d, _ in a} & {d for d, _ in b}) >= 4
+    # a delta doc is itself retrievable
+    idx7, val7 = corpus[270]
+    assert inc.search_vector(idx7, val7, k=1)[0][0] == "d270"
+    # compaction folds the delta in and clears it
+    inc.compact()
+    assert inc.delta_count == 0 and inc._base_n == 300
+
+
+def test_delta_with_two_phase(corpus):
+    inc = TpuPostingsIndex(V, n_postings=4, query_top_t=8, approx=False,
+                           rescore_candidates=64)
+    for i, (idx, val) in enumerate(corpus[:280]):
+        inc.add(f"d{i}", idx, val)
+    inc.build()
+    for i, (idx, val) in enumerate(corpus[280:], start=280):
+        inc.add(f"d{i}", idx, val)
+    idx9, val9 = corpus[290]
+    res = inc.search_vector(idx9, val9, k=3)
+    assert res[0][0] == "d290"

@@ -399,3 +399,43 @@ def test_mesh_postings_engine_matches_single_device(engine):
         assert [d for d, _ in a] == [d for d, _ in b]
         np.testing.assert_allclose([s for _, s in a], [s for _, s in b],
                                    rtol=5e-2)
+
+
+def test_engine_delta_adds_without_rebuild(engine):
+    """Adding documents to a served postings index must not recompile the
+    fused executable (LSM delta), and past the compaction threshold the
+    delta folds into the postings."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuPostingsIndex(VOCAB, n_postings=64, query_top_t=16,
+                             approx=False)
+    docs = [(f"doc{i}", f"문서 {i} 가나다") for i in range(20)]
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    e = ServingEngine(model, params, tok, index, query_top_k=16,
+                      query_max_length=16, delta_compact_threshold=4)
+    e.search("문서 1", k=3)
+    fused_before = e._fused_jit
+    uniq = "특별한 신규 문서 텍스트"
+    (di, dv), = enc.encode_documents([uniq])
+    index.add("newdoc", di, dv)
+    hits = e.search(uniq, k=3)
+    assert hits[0][0] == "newdoc"          # delta doc served
+    assert e._fused_jit is fused_before    # NO recompile for a small delta
+    assert index.delta_count == 1
+    # exceed the threshold -> compaction + re-made fused fn
+    more = [(f"x{i}", f"추가 문서 {i}") for i in range(5)]
+    index.add_batch([d for d, _ in more],
+                    enc.encode_documents([t for _, t in more]))
+    hits = e.search("추가 문서 3", k=3)
+    assert index.delta_count == 0          # compacted
+    assert e.num_docs == 26
+    assert any(d.startswith("x") for d, _ in hits)
