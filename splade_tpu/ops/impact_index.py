@@ -79,6 +79,25 @@ class TpuImpactIndex:
         for did, (idx, val) in zip(doc_ids, vecs):
             self.add(did, idx, val)
 
+    def delete(self, doc_ids: Sequence[str]) -> int:
+        """Physically drop documents. The dense matrix rebuilds on any
+        mutation anyway (device_arrays), so no tombstones are needed —
+        unlike the postings index, whose delete() defers to compaction."""
+        want = set(doc_ids)
+        keep = [i for i, d in enumerate(self.doc_ids) if d not in want]
+        removed = len(self.doc_ids) - len(keep)
+        if removed:
+            self.doc_ids = [self.doc_ids[i] for i in keep]
+            self._rows = [self._rows[i] for i in keep]
+            self.nnz = int(sum((r > 0).sum() for r in self._rows))
+            self._mat = None
+        return removed
+
+    def update(self, doc_id: str, indices: np.ndarray,
+               values: np.ndarray) -> None:
+        self.delete([doc_id])
+        self.add(doc_id, indices, values)
+
     def build(self) -> None:
         """Pad to a tile-friendly row count and upload to HBM."""
         import jax

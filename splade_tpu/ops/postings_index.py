@@ -336,6 +336,8 @@ class TpuPostingsIndex:
         self._search_jit = None
         self.truncated_postings = 0  # dropped by the n_postings cap
         self._base_n = 0  # docs covered by _built; the rest are the delta
+        self._delta_cache = None
+        self._tombstones: set = set()  # deleted doc positions (see delete)
 
     #: LSM-style incremental adds: documents added AFTER build() become a
     #: host-side delta segment scored exactly and merged into results, so
@@ -380,8 +382,39 @@ class TpuPostingsIndex:
             return 0
         return len(self.doc_ids) - self._base_n
 
+    # -------------------------------------------------------- delete/update
+    def delete(self, doc_ids: Sequence[str]) -> int:
+        """Tombstone documents (OpenSearch-style delete): they stop
+        appearing in results immediately; compact() reclaims their space.
+        Returns the number of documents actually deleted."""
+        want = set(doc_ids)
+        hit = [i for i, d in enumerate(self.doc_ids)
+               if d in want and i not in self._tombstones]
+        self._tombstones.update(hit)
+        return len(hit)
+
+    def update(self, doc_id: str, indices: np.ndarray,
+               values: np.ndarray) -> None:
+        """Replace a document's vector: tombstone the old version, stage
+        the new one (served from the delta segment until compaction)."""
+        self.delete([doc_id])
+        self.add(doc_id, indices, values)
+
+    @property
+    def deleted_count(self) -> int:
+        return len(self._tombstones)
+
     def compact(self) -> None:
-        """Fold the delta segment into the main postings structure."""
+        """Fold the delta segment into the main postings structure and
+        physically drop tombstoned documents."""
+        if self._tombstones:
+            keep = [i for i in range(len(self.doc_ids))
+                    if i not in self._tombstones]
+            self.doc_ids = [self.doc_ids[i] for i in keep]
+            self._doc_idx = [self._doc_idx[i] for i in keep]
+            self._doc_val = [self._doc_val[i] for i in keep]
+            self.nnz = int(sum(len(x) for x in self._doc_idx))
+            self._tombstones = set()
         self.build()
 
     def score_delta(self, q_indices: np.ndarray,
@@ -547,8 +580,10 @@ class TpuPostingsIndex:
             jnp.asarray(q_indices), jnp.asarray(q_values), k_base)
         vals = np.asarray(vals)[:B]
         idxs = np.asarray(idxs)[:B]
+        tomb = self._tombstones
         out = [[(self.doc_ids[int(i)], float(v))
-                for v, i in zip(vals[b], idxs[b]) if v > 0]
+                for v, i in zip(vals[b], idxs[b])
+                if v > 0 and int(i) not in tomb]
                for b in range(B)]
         if self.delta_count:
             # merge the exactly-scored delta segment (docs added since the
@@ -557,7 +592,8 @@ class TpuPostingsIndex:
             d_ids = self.doc_ids[self._base_n:]
             for b in range(B):
                 extra = [(d_ids[j], float(s))
-                         for j, s in enumerate(d_scores[b]) if s > 0]
+                         for j, s in enumerate(d_scores[b])
+                         if s > 0 and (self._base_n + j) not in tomb]
                 if extra:
                     merged = sorted(out[b] + extra, key=lambda t: -t[1])
                     out[b] = merged[:k]

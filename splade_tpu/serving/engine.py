@@ -263,11 +263,13 @@ class ServingEngine:
         if self._postings:
             if self.index._built is None:
                 self._build_postings_fused()
-            elif getattr(self.index, "delta_count", 0):
-                # LSM path: small deltas are scored host-side and merged —
-                # no rebuild, no fused-jit recompile. Past the threshold,
-                # compact (fold into postings) and re-make the fused fn.
-                if self.index.delta_count > self.delta_compact_threshold:
+            elif (getattr(self.index, "delta_count", 0)
+                  or getattr(self.index, "deleted_count", 0)):
+                # LSM path: small deltas are scored host-side and merged,
+                # deletes are tombstone-filtered — no rebuild, no fused-jit
+                # recompile. Past the threshold, compact and re-jit once.
+                if (self.index.delta_count + self.index.deleted_count
+                        > self.delta_compact_threshold):
                     self.index.compact()
                     self._build_postings_fused()
             elif len(self.index) != self._postings_n:
@@ -304,10 +306,12 @@ class ServingEngine:
         idxs = np.asarray(idxs)[:B, :k]
         doc_ids = self.index.doc_ids
         # dense pads rows with -inf; postings no-overlap docs score 0 — both
-        # are non-results
-        keep = (lambda v: v > 0) if self._postings else np.isfinite
+        # are non-results. Tombstoned (deleted) docs are filtered here.
+        tomb = getattr(self.index, "_tombstones", None) or frozenset()
+        keep = ((lambda v, i: v > 0 and i not in tomb) if self._postings
+                else (lambda v, i: np.isfinite(v)))
         out = [[(doc_ids[int(i)], float(v))
-                for v, i in zip(vals[b], idxs[b]) if keep(v)]
+                for v, i in zip(vals[b], idxs[b]) if keep(v, int(i))]
                for b in range(B)]
         if self._postings and getattr(self.index, "delta_count", 0):
             # score the delta segment with a separate encode (the fused fn
@@ -315,10 +319,12 @@ class ServingEngine:
             q_vecs = self.encoder.encode_queries(list(queries))
             d_scores = self.index.score_delta([v[0] for v in q_vecs],
                                               [v[1] for v in q_vecs])
-            d_ids = self.index.doc_ids[self.index._base_n:]
+            base_n = self.index._base_n
+            d_ids = self.index.doc_ids[base_n:]
             for b in range(B):
                 extra = [(d_ids[j], float(s))
-                         for j, s in enumerate(d_scores[b]) if s > 0]
+                         for j, s in enumerate(d_scores[b])
+                         if s > 0 and (base_n + j) not in tomb]
                 if extra:
                     out[b] = sorted(out[b] + extra, key=lambda t: -t[1])[:k]
         return out
@@ -351,6 +357,21 @@ class ServingEngine:
         if queries:
             return self.encoder.encode_queries(list(texts))
         return self.encoder.encode_documents(list(texts))
+
+    # --------------------------------------------------------- index CRUD
+    def add_documents(self, docs: Sequence[Tuple[str, str]]) -> int:
+        """Encode and index (doc_id, text) pairs live (postings backends
+        serve them from the LSM delta with no recompile)."""
+        vecs = self.encoder.encode_documents([t for _, t in docs])
+        self.index.add_batch([d for d, _ in docs], vecs)
+        return len(docs)
+
+    def delete_documents(self, doc_ids: Sequence[str]) -> int:
+        """Tombstone documents (postings backends only)."""
+        if not hasattr(self.index, "delete"):
+            raise NotImplementedError(
+                f"{type(self.index).__name__} does not support deletes")
+        return self.index.delete(doc_ids)
 
     @property
     def num_docs(self) -> int:

@@ -7,6 +7,13 @@ Endpoints (JSON in/out):
                                  => {"results": [[{"doc_id", "score"}, ...]]}
     POST /encode             -> {"texts": [str], "queries": bool}
                                  => {"vectors": [{token_id: weight}]}
+    POST /index              -> {"docs": [{"id": str, "text": str}]}
+                                 => {"added": N, "docs": total} (live adds:
+                                 postings backends serve from the LSM delta
+                                 with no rebuild/recompile)
+    POST /delete             -> {"ids": [str]} => {"deleted": N}
+                                 (tombstoned immediately; compaction
+                                 reclaims space past the threshold)
 
 Replaces the reference's OpenSearch REST surface for neural-sparse queries
 (reference: benchmark/searchers.py:130-186 builds rank_feature bool queries
@@ -65,6 +72,16 @@ class SearchService:
         return [{int(i): float(v) for i, v in zip(idx, val)}
                 for idx, val in vecs]
 
+    def index_docs(self, docs: List[dict]) -> dict:
+        with self._encode_lock:
+            added = self.engine.add_documents(
+                [(str(d["id"]), str(d["text"])) for d in docs])
+        return {"added": added, "docs": self.engine.num_docs}
+
+    def delete_docs(self, ids: List[str]) -> dict:
+        deleted = self.engine.delete_documents([str(i) for i in ids])
+        return {"deleted": deleted}
+
     def stats(self) -> dict:
         return {"docs": self.engine.num_docs, **self.batcher.stats()}
 
@@ -116,6 +133,21 @@ def make_handler(service: SearchService):
                         return self._reply(
                             400, {"error": "'k' must be a positive integer"})
                     self._reply(200, {"results": service.search(queries, k)})
+                elif self.path == "/index":
+                    docs = req.get("docs")
+                    if not (isinstance(docs, list) and docs and all(
+                            isinstance(d, dict) and "id" in d and "text" in d
+                            for d in docs)):
+                        return self._reply(
+                            400, {"error": "'docs' must be "
+                                           "[{id, text}, ...]"})
+                    self._reply(200, service.index_docs(docs))
+                elif self.path == "/delete":
+                    ids = req.get("ids")
+                    if not (isinstance(ids, list) and ids):
+                        return self._reply(400,
+                                           {"error": "'ids' must be [str]"})
+                    self._reply(200, service.delete_docs(ids))
                 elif self.path == "/encode":
                     texts = req.get("texts")
                     if not (isinstance(texts, list)

@@ -439,3 +439,85 @@ def test_engine_delta_adds_without_rebuild(engine):
     assert index.delta_count == 0          # compacted
     assert e.num_docs == 26
     assert any(d.startswith("x") for d, _ in hits)
+
+
+def test_delete_and_update_documents(engine):
+    """OpenSearch-style CRUD on the served postings index: deletes vanish
+    from results immediately (tombstones), updates serve the new vector,
+    and compaction reclaims space."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuPostingsIndex(VOCAB, n_postings=64, query_top_t=16,
+                             approx=False)
+    docs = [(f"doc{i}", f"문서 {i} 가나다") for i in range(12)]
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    e = ServingEngine(model, params, tok, index, query_top_k=16,
+                      query_max_length=16, delta_compact_threshold=100)
+    hits = e.search("문서 3 가나다", k=12)
+    assert "doc3" in {d for d, _ in hits}
+    assert e.delete_documents(["doc3", "nope"]) == 1
+    hits = e.search("문서 3 가나다", k=12)
+    assert "doc3" not in {d for d, _ in hits}  # tombstoned immediately
+    # update: new content served from the delta
+    uniq = "업데이트된 본문"
+    (di, dv), = enc.encode_documents([uniq])
+    index.update("doc5", di, dv)
+    hits = e.search(uniq, k=3)
+    assert hits[0][0] == "doc5"
+    assert index.deleted_count == 2
+    # compaction physically drops tombstones
+    index.compact()
+    assert index.deleted_count == 0 and len(index) == 11
+    assert "doc3" not in index.doc_ids
+    hits = e.search(uniq, k=3)  # engine re-jits after compaction
+    assert hits[0][0] == "doc5"
+
+
+def test_server_index_and_delete_endpoints(engine):
+    """Live /index and /delete through the HTTP layer."""
+    import http.client
+    import json as _json
+    import threading as _threading
+
+    from splade_tpu.serving.server import SearchService, create_server
+
+    service = SearchService(engine, max_batch_size=8, max_wait_ms=1.0)
+    srv = create_server(service, "127.0.0.1", 0)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, payload):
+            conn = http.client.HTTPConnection(*srv.server_address, timeout=60)
+            conn.request("POST", path, _json.dumps(payload).encode())
+            resp = conn.getresponse()
+            body = _json.loads(resp.read())
+            conn.close()
+            return resp.status, body
+
+        n0 = engine.num_docs
+        st, body = post("/index", {"docs": [{"id": "live1",
+                                             "text": "실시간 추가 문서"}]})
+        assert st == 200 and body["added"] == 1 and body["docs"] == n0 + 1
+        st, body = post("/search", {"query": "실시간 추가 문서", "k": 3})
+        assert st == 200
+        assert body["results"][0][0]["doc_id"] == "live1"
+        st, body = post("/delete", {"ids": ["live1"]})
+        assert st == 200 and body["deleted"] == 1
+        st, body = post("/search", {"query": "실시간 추가 문서", "k": 3})
+        assert "live1" not in {r["doc_id"] for r in body["results"][0]}
+        st, _ = post("/index", {"docs": [{"id": "x"}]})
+        assert st == 400
+        st, _ = post("/delete", {"ids": []})
+        assert st == 400
+    finally:
+        srv.shutdown()
+        service.close()
