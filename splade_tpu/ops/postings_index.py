@@ -605,6 +605,58 @@ class TpuPostingsIndex:
         return self.search_topk(np.asarray(indices)[None],
                                 np.asarray(values)[None], k)[0]
 
+    # --------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        """Persist the staged corpus (CSR + ids + config) so a server
+        restart skips corpus re-encoding — the startup cost at million-doc
+        scale is the encoder, not the build. Tombstones/delta compact into
+        the saved state."""
+        from pathlib import Path
+
+        if self._tombstones:
+            self.compact()
+        lens = np.fromiter((len(x) for x in self._doc_idx), np.int64,
+                           count=len(self._doc_idx))
+        out = Path(path)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.with_suffix(out.suffix + ".tmp")
+        with open(tmp, "wb") as f:
+            np.savez_compressed(
+                f,
+                doc_ids=np.asarray(self.doc_ids, dtype=object),
+                lens=lens,
+                terms=np.concatenate(self._doc_idx) if len(lens) else
+                np.zeros(0, np.int32),
+                vals=np.concatenate(self._doc_val) if len(lens) else
+                np.zeros(0, np.float32),
+                config=np.asarray([self.vocab_size, self.n_postings,
+                                   self.query_top_t, self.rescore_candidates],
+                                  np.int64),
+            )
+        import os
+
+        os.replace(tmp, out)
+        logger.info("saved index corpus (%d docs) -> %s",
+                    len(self.doc_ids), path)
+
+    @classmethod
+    def load(cls, path: str, **overrides) -> "TpuPostingsIndex":
+        """Restore a saved corpus and build the device structures. Saved
+        config (vocab/cap/top-T/rescore) applies unless overridden."""
+        with np.load(path, allow_pickle=True) as z:
+            vocab, P, top_t, C = (int(x) for x in z["config"])
+            kw = dict(n_postings=P, query_top_t=top_t, rescore_candidates=C)
+            kw.update(overrides)
+            index = cls(vocab, **kw)
+            lens = z["lens"]
+            bounds = np.cumsum(lens)[:-1]
+            index.add_batch(
+                [str(d) for d in z["doc_ids"]],
+                list(zip(np.split(z["terms"], bounds),
+                         np.split(z["vals"], bounds))))
+        index.build()
+        return index
+
     # ---------------------------------------------------------------- info
     def max_results(self) -> int:
         """Largest k a search can honor (two-phase caps it at the

@@ -181,8 +181,13 @@ def main(argv: Optional[list] = None) -> int:
     p = argparse.ArgumentParser("splade-tpu serving daemon")
     p.add_argument("--checkpoint", required=True,
                    help="training checkpoint dir or HF export dir")
-    p.add_argument("--docs", required=True,
-                   help="JSONL corpus: {\"id\": ..., \"text\"|\"contents\": ...}")
+    p.add_argument("--docs", default=None,
+                   help="JSONL corpus: {\"id\": ..., \"text\"|\"contents\": ...}"
+                        " (optional when --index-cache exists)")
+    p.add_argument("--index-cache", default=None,
+                   help="path to a persisted index (postings only): load it "
+                        "if present — skipping corpus re-encoding, the "
+                        "startup cost at scale — else encode + build + save")
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
@@ -212,19 +217,34 @@ def main(argv: Optional[list] = None) -> int:
     tokenizer = create_tokenizer(args.tokenizer or args.checkpoint)
     enc = SparseEncoderV33.from_any(args.checkpoint, tokenizer)
 
-    docs = []
-    with open(args.docs, encoding="utf-8") as f:
-        for line in f:
-            if not line.strip():
-                continue
-            d = json.loads(line)
-            docs.append((str(d.get("id", len(docs))),
-                         d.get("text") or d.get("contents") or ""))
-    logger.info("indexing %d docs ...", len(docs))
-    engine = build_engine_from_docs(
-        enc.model, enc.params, tokenizer, docs, int8=args.int8,
-        query_top_k=args.query_top_k, index_type=args.index,
-        n_postings=args.n_postings, rescore_candidates=args.rescore)
+    import os
+
+    if args.index_cache and os.path.exists(args.index_cache):
+        from splade_tpu.ops.postings_index import TpuPostingsIndex
+        from splade_tpu.serving.engine import ServingEngine
+
+        logger.info("loading persisted index %s ...", args.index_cache)
+        index = TpuPostingsIndex.load(args.index_cache)
+        engine = ServingEngine(enc.model, enc.params, tokenizer, index,
+                               query_top_k=args.query_top_k)
+    else:
+        if not args.docs:
+            p.error("--docs is required when --index-cache is absent")
+        docs = []
+        with open(args.docs, encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                d = json.loads(line)
+                docs.append((str(d.get("id", len(docs))),
+                             d.get("text") or d.get("contents") or ""))
+        logger.info("indexing %d docs ...", len(docs))
+        engine = build_engine_from_docs(
+            enc.model, enc.params, tokenizer, docs, int8=args.int8,
+            query_top_k=args.query_top_k, index_type=args.index,
+            n_postings=args.n_postings, rescore_candidates=args.rescore)
+        if args.index_cache and hasattr(engine.index, "save"):
+            engine.index.save(args.index_cache)
     if args.warmup:
         logger.info("warming serving shapes (one compile per shape) ...")
     service = SearchService(engine, max_batch_size=args.max_batch_size,

@@ -445,3 +445,31 @@ def test_delta_with_two_phase(corpus):
     idx9, val9 = corpus[290]
     res = inc.search_vector(idx9, val9, k=3)
     assert res[0][0] == "d290"
+
+
+def test_save_load_roundtrip(tmp_path, corpus):
+    """Persisted index restores to identical search results (the serving
+    restart path: skip corpus re-encoding)."""
+    orig = TpuPostingsIndex(V, n_postings=16, query_top_t=8, approx=False,
+                            rescore_candidates=32)
+    for i, (idx, val) in enumerate(corpus[:100]):
+        orig.add(f"d{i}", idx, val)
+    orig.build()
+    # mutations fold into the saved state
+    orig.add("extra", *corpus[100])
+    orig.delete(["d3"])
+    path = str(tmp_path / "index.npz")
+    orig.save(path)
+    assert orig.deleted_count == 0  # save() compacts
+
+    back = TpuPostingsIndex.load(path, approx=False)
+    assert len(back) == 100  # 100 - d3 + extra
+    assert back.rescore_candidates == 32 and back.n_postings == 16
+    assert "d3" not in back.doc_ids and "extra" in back.doc_ids
+    qi, qv = synth_queries(b=8)
+    for a, b in zip(orig.search_topk(qi, qv, k=5),
+                    back.search_topk(qi, qv, k=5)):
+        assert a == b
+    # overrides win over saved config
+    back2 = TpuPostingsIndex.load(path, rescore_candidates=0)
+    assert back2.rescore_candidates == 0
