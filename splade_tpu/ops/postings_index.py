@@ -254,7 +254,9 @@ def make_mesh_postings_search_fns(n_shards: int, shard_size: int, n_docs: int,
                                        scoring=scoring)
 
         vals, idxs = jax.vmap(shard_search)(post_docs, post_w, scale)
-        return merge(vals, idxs, k, k_local)
+        # sort scoring caps a shard's output at its T*P pool, which can be
+        # below k_local — merge on the width actually returned
+        return merge(vals, idxs, k, vals.shape[2])
 
     def search_two_phase(post_docs, post_w, scale, d_terms, d_vals,
                          d_scale, q_idx, q_val, k):
@@ -313,7 +315,8 @@ class TpuPostingsIndex:
         HBM traffic per batch); "sort" sorts the [B, T*P] gathered pairs
         and segment-sums runs — corpus-size-INDEPENDENT, the right choice
         whenever T*P is small (short caps / two-phase). "auto" picks sort
-        when T*P <= 65536, scatter otherwise."""
+        when T*P <= 4096, scatter otherwise (measured crossover — see
+        resolved_scoring)."""
         self.vocab_size = vocab_size
         self.n_postings = n_postings
         self.query_top_t = query_top_t
@@ -338,6 +341,7 @@ class TpuPostingsIndex:
         self._base_n = 0  # docs covered by _built; the rest are the delta
         self._delta_cache = None
         self._tombstones: set = set()  # deleted doc positions (see delete)
+        self._id_pos: Optional[Dict[str, int]] = None
 
     #: LSM-style incremental adds: documents added AFTER build() become a
     #: host-side delta segment scored exactly and merged into results, so
@@ -383,13 +387,20 @@ class TpuPostingsIndex:
         return len(self.doc_ids) - self._base_n
 
     # -------------------------------------------------------- delete/update
+    def _positions(self) -> Dict[str, int]:
+        """doc_id -> position, maintained incrementally (delete at 10^7-doc
+        scale must not scan the whole id list per request)."""
+        if self._id_pos is None or len(self._id_pos) != len(self.doc_ids):
+            self._id_pos = {d: i for i, d in enumerate(self.doc_ids)}
+        return self._id_pos
+
     def delete(self, doc_ids: Sequence[str]) -> int:
         """Tombstone documents (OpenSearch-style delete): they stop
         appearing in results immediately; compact() reclaims their space.
         Returns the number of documents actually deleted."""
-        want = set(doc_ids)
-        hit = [i for i, d in enumerate(self.doc_ids)
-               if d in want and i not in self._tombstones]
+        pos = self._positions()
+        hit = [pos[d] for d in doc_ids
+               if d in pos and pos[d] not in self._tombstones]
         self._tombstones.update(hit)
         return len(hit)
 
@@ -415,6 +426,7 @@ class TpuPostingsIndex:
             self._doc_val = [self._doc_val[i] for i in keep]
             self.nnz = int(sum(len(x) for x in self._doc_idx))
             self._tombstones = set()
+            self._id_pos = None
         self.build()
 
     def score_delta(self, q_indices: np.ndarray,
@@ -436,6 +448,23 @@ class TpuPostingsIndex:
             np.add.at(qd[b], np.asarray(q_indices[b], np.int64),
                       np.asarray(q_values[b], np.float32))
         return np.einsum("bdm,dm->bd", qd[:, terms], vals, optimize=True)
+
+    def merge_delta(self, out: List[List[Tuple[str, float]]],
+                    d_scores: np.ndarray, k: int
+                    ) -> List[List[Tuple[str, float]]]:
+        """Merge delta-segment scores ([B, delta_count], from score_delta)
+        into per-query result lists — the ONE place delta/tombstone merge
+        semantics live (used by search_topk and the serving engine)."""
+        base_n = self._base_n
+        d_ids = self.doc_ids[base_n:]
+        tomb = self._tombstones
+        for b in range(len(out)):
+            extra = [(d_ids[j], float(s))
+                     for j, s in enumerate(d_scores[b])
+                     if s > 0 and (base_n + j) not in tomb]
+            if extra:
+                out[b] = sorted(out[b] + extra, key=lambda t: -t[1])[:k]
+        return out
 
     def build(self) -> None:
         import jax
@@ -574,8 +603,9 @@ class TpuPostingsIndex:
         if pad_b:
             q_indices = np.pad(q_indices, ((0, pad_b), (0, 0)))
             q_values = np.pad(q_values, ((0, pad_b), (0, 0)))
-        # the jitted base search only covers the built segment
-        k_base = min(k, self._base_n)
+        # the jitted base search only covers the built segment; over-fetch
+        # by the tombstone count so deletes don't shrink results below k
+        k_base = min(k + len(self._tombstones), self._base_n)
         vals, idxs = self._search_jit(
             jnp.asarray(q_indices), jnp.asarray(q_values), k_base)
         vals = np.asarray(vals)[:B]
@@ -583,20 +613,13 @@ class TpuPostingsIndex:
         tomb = self._tombstones
         out = [[(self.doc_ids[int(i)], float(v))
                 for v, i in zip(vals[b], idxs[b])
-                if v > 0 and int(i) not in tomb]
+                if v > 0 and int(i) not in tomb][:k]
                for b in range(B)]
         if self.delta_count:
             # merge the exactly-scored delta segment (docs added since the
             # last build/compact) into the base results
             d_scores = self.score_delta(q_indices[:B], q_values[:B])
-            d_ids = self.doc_ids[self._base_n:]
-            for b in range(B):
-                extra = [(d_ids[j], float(s))
-                         for j, s in enumerate(d_scores[b])
-                         if s > 0 and (self._base_n + j) not in tomb]
-                if extra:
-                    merged = sorted(out[b] + extra, key=lambda t: -t[1])
-                    out[b] = merged[:k]
+            out = self.merge_delta(out, d_scores, k)
         return out
 
     def search_vector(

@@ -193,6 +193,12 @@ class ServingEngine:
         self.max_k = max_k
         self.k_tiers = tuple(sorted(k_tiers))
         self.delta_compact_threshold = delta_compact_threshold
+        # CRUD (add/delete/compact) and search touch shared index state
+        # from different threads (HTTP handlers vs the batcher): one lock
+        # makes mutation + the host side of search atomic.
+        import threading
+
+        self._index_lock = threading.RLock()
         self.params = jax.device_put(params)
         # Reused for /encode and for indexing new documents.
         self.encoder = SparseEncoderV33(
@@ -258,6 +264,12 @@ class ServingEngine:
         self, queries: Sequence[str], k: int = 10
     ) -> List[List[Tuple[str, float]]]:
         """Encode + retrieve for a batch of query strings in one dispatch."""
+        with self._index_lock:
+            return self._search_batch_locked(queries, k)
+
+    def _search_batch_locked(
+        self, queries: Sequence[str], k: int = 10
+    ) -> List[List[Tuple[str, float]]]:
         import jax.numpy as jnp
 
         if self._postings:
@@ -275,7 +287,11 @@ class ServingEngine:
             elif len(self.index) != self._postings_n:
                 self._build_postings_fused()  # non-delta index mutated
         k = min(max(k, 1), self.max_k, len(self.index))
-        k_eff = self._quantize_k(k)
+        # over-fetch by the tombstone count (deletes are filtered AFTER the
+        # device top-k; without slack they shrink results below k). Tier
+        # quantization bounds the shape set.
+        deleted = getattr(self.index, "deleted_count", 0)
+        k_eff = self._quantize_k(min(k + deleted, self.max_k))
         if self._postings and self._postings_two_phase:
             # two-phase can return at most C candidates
             k_eff = min(k_eff, self._postings_C)
@@ -302,8 +318,8 @@ class ServingEngine:
             mat, scale, n_valid = self.index.device_arrays()
             vals, idxs = self._fused_jit(
                 self.params, mat, scale, ids, mask, n_valid, k_eff)
-        vals = np.asarray(vals)[:B, :k]
-        idxs = np.asarray(idxs)[:B, :k]
+        vals = np.asarray(vals)[:B]
+        idxs = np.asarray(idxs)[:B]
         doc_ids = self.index.doc_ids
         # dense pads rows with -inf; postings no-overlap docs score 0 — both
         # are non-results. Tombstoned (deleted) docs are filtered here.
@@ -311,22 +327,22 @@ class ServingEngine:
         keep = ((lambda v, i: v > 0 and i not in tomb) if self._postings
                 else (lambda v, i: np.isfinite(v)))
         out = [[(doc_ids[int(i)], float(v))
-                for v, i in zip(vals[b], idxs[b]) if keep(v, int(i))]
+                for v, i in zip(vals[b], idxs[b]) if keep(v, int(i))][:k]
                for b in range(B)]
         if self._postings and getattr(self.index, "delta_count", 0):
             # score the delta segment with a separate encode (the fused fn
-            # doesn't expose query vectors); merged exactly, top-k kept
-            q_vecs = self.encoder.encode_queries(list(queries))
+            # doesn't expose query vectors), truncated to the SAME top-T
+            # the base path uses so base/delta scores stay comparable
+            top_t = self.index.query_top_t
+            q_vecs = []
+            for qi, qv in self.encoder.encode_queries(list(queries)):
+                if len(qv) > top_t:
+                    keep_t = np.argsort(-np.asarray(qv))[:top_t]
+                    qi, qv = np.asarray(qi)[keep_t], np.asarray(qv)[keep_t]
+                q_vecs.append((qi, qv))
             d_scores = self.index.score_delta([v[0] for v in q_vecs],
                                               [v[1] for v in q_vecs])
-            base_n = self.index._base_n
-            d_ids = self.index.doc_ids[base_n:]
-            for b in range(B):
-                extra = [(d_ids[j], float(s))
-                         for j, s in enumerate(d_scores[b])
-                         if s > 0 and (base_n + j) not in tomb]
-                if extra:
-                    out[b] = sorted(out[b] + extra, key=lambda t: -t[1])[:k]
+            out = self.index.merge_delta(out, d_scores, k)
         return out
 
     def warmup(self, max_batch_size: int = 32) -> int:
@@ -363,15 +379,17 @@ class ServingEngine:
         """Encode and index (doc_id, text) pairs live (postings backends
         serve them from the LSM delta with no recompile)."""
         vecs = self.encoder.encode_documents([t for _, t in docs])
-        self.index.add_batch([d for d, _ in docs], vecs)
+        with self._index_lock:
+            self.index.add_batch([d for d, _ in docs], vecs)
         return len(docs)
 
     def delete_documents(self, doc_ids: Sequence[str]) -> int:
-        """Tombstone documents (postings backends only)."""
+        """Tombstone documents (dense backends drop rows physically)."""
         if not hasattr(self.index, "delete"):
             raise NotImplementedError(
                 f"{type(self.index).__name__} does not support deletes")
-        return self.index.delete(doc_ids)
+        with self._index_lock:
+            return self.index.delete(doc_ids)
 
     @property
     def num_docs(self) -> int:

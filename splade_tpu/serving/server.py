@@ -223,8 +223,16 @@ def main(argv: Optional[list] = None) -> int:
         from splade_tpu.ops.postings_index import TpuPostingsIndex
         from splade_tpu.serving.engine import ServingEngine
 
+        if args.index == "dense":
+            p.error("--index dense cannot load a postings --index-cache; "
+                    "remove the cache file or use --index postings")
         logger.info("loading persisted index %s ...", args.index_cache)
         index = TpuPostingsIndex.load(args.index_cache)
+        logger.warning(
+            "persisted index config wins: n_postings=%d query_top_t=%d "
+            "rescore=%d (CLI --n-postings/--rescore are IGNORED with an "
+            "existing --index-cache; delete the cache to re-shape)",
+            index.n_postings, index.query_top_t, index.rescore_candidates)
         engine = ServingEngine(enc.model, enc.params, tokenizer, index,
                                query_top_k=args.query_top_k)
     else:

@@ -521,3 +521,85 @@ def test_server_index_and_delete_endpoints(engine):
     finally:
         srv.shutdown()
         service.close()
+
+
+def test_deletes_do_not_shrink_results_below_k(engine):
+    """Deleting a top-ranked doc must not return fewer than k results when
+    enough live docs exist (tombstone filter over-fetches)."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuPostingsIndex(VOCAB, n_postings=64, query_top_t=16,
+                             approx=False)
+    docs = [(f"doc{i}", f"문서 {i} 가나다") for i in range(30)]
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    e = ServingEngine(model, params, tok, index, query_top_k=16,
+                      query_max_length=16, delta_compact_threshold=100)
+    q = "문서 가나다"
+    full = e.search(q, k=10)
+    assert len(full) == 10
+    e.delete_documents([full[0][0], full[1][0]])
+    after = e.search(q, k=10)
+    assert len(after) == 10  # over-fetch compensates for tombstones
+    assert not {full[0][0], full[1][0]} & {d for d, _ in after}
+
+
+def test_concurrent_crud_and_search_consistency(engine):
+    """Hammer add/delete/search from threads: no crashes, no desync (every
+    returned doc_id resolves, results stay well-formed)."""
+    import threading as _t
+
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuPostingsIndex(VOCAB, n_postings=32, query_top_t=16,
+                             approx=False)
+    docs = [(f"doc{i}", f"문서 {i} 가나다") for i in range(16)]
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    e = ServingEngine(model, params, tok, index, query_top_k=16,
+                      query_max_length=16, delta_compact_threshold=6)
+    errors = []
+
+    def mutator(tid):
+        try:
+            for i in range(8):
+                e.add_documents([(f"m{tid}-{i}", f"추가 {tid} {i} 나다라")])
+                if i % 3 == 2:
+                    e.delete_documents([f"m{tid}-{i-1}"])
+        except Exception as exc:  # noqa: BLE001
+            errors.append(repr(exc))
+
+    def searcher():
+        try:
+            for _ in range(12):
+                for row in e.search_batch(["문서 가나다", "추가 나다라"], k=5):
+                    for d, s in row:
+                        assert isinstance(d, str) and s > 0
+        except Exception as exc:  # noqa: BLE001
+            errors.append(repr(exc))
+
+    threads = ([_t.Thread(target=mutator, args=(t,)) for t in range(2)]
+               + [_t.Thread(target=searcher) for _ in range(2)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # final state consistent: every live doc retrievable by its own text
+    assert len(index.doc_ids) == len(set(index.doc_ids))
