@@ -63,7 +63,9 @@ class SearchService:
 
     def search(self, queries: List[str], k: int) -> List[List[dict]]:
         futs = [self.batcher.submit((q, k)) for q in queries]
-        return [[{"doc_id": d, "score": s} for d, s in f.result(timeout=120)]
+        # generous timeout: a cold (un-warmed) fused compile can take
+        # minutes on remote backends; warmed servers answer in ms
+        return [[{"doc_id": d, "score": s} for d, s in f.result(timeout=600)]
                 for f in futs]
 
     def encode(self, texts: List[str], queries: bool) -> List[dict]:
@@ -193,9 +195,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--int8", action="store_true", default=True)
     p.add_argument("--no-int8", dest="int8", action="store_false")
-    p.add_argument("--index", default="dense", choices=["dense", "postings"],
+    p.add_argument("--index", default=None, choices=["dense", "postings"],
                    help="dense [N,V] matmul (<~300K docs) or truncated "
-                        "postings (million-doc corpora)")
+                        "postings (million-doc corpora). Default: dense, "
+                        "or postings when an --index-cache exists")
     p.add_argument("--n-postings", type=int, default=2048)
     p.add_argument("--rescore", type=int, default=0,
                    help=">0 with --index postings: two-phase search — this "
@@ -219,11 +222,13 @@ def main(argv: Optional[list] = None) -> int:
 
     import os
 
-    if args.index_cache and os.path.exists(args.index_cache):
+    cache_hit = args.index_cache and os.path.exists(args.index_cache)
+    index_kind = args.index or ("postings" if cache_hit else "dense")
+    if cache_hit:
         from splade_tpu.ops.postings_index import TpuPostingsIndex
         from splade_tpu.serving.engine import ServingEngine
 
-        if args.index == "dense":
+        if index_kind == "dense":
             p.error("--index dense cannot load a postings --index-cache; "
                     "remove the cache file or use --index postings")
         logger.info("loading persisted index %s ...", args.index_cache)
@@ -249,7 +254,7 @@ def main(argv: Optional[list] = None) -> int:
         logger.info("indexing %d docs ...", len(docs))
         engine = build_engine_from_docs(
             enc.model, enc.params, tokenizer, docs, int8=args.int8,
-            query_top_k=args.query_top_k, index_type=args.index,
+            query_top_k=args.query_top_k, index_type=index_kind,
             n_postings=args.n_postings, rescore_candidates=args.rescore)
         if args.index_cache and hasattr(engine.index, "save"):
             engine.index.save(args.index_cache)
