@@ -55,11 +55,10 @@ def main() -> None:
     idx = TpuPostingsIndex(V, n_postings=args.n_postings,
                            query_top_t=args.top_t, approx=not args.exact_topk,
                            rescore_candidates=args.rescore)
-    # bulk synthetic corpus (vectorized; Zipf-ish term popularity)
-    popularity = rng.zipf(1.3, size=args.docs * args.nnz_doc) % V
-    all_idx = popularity.astype(np.int32).reshape(args.docs, args.nnz_doc)
-    all_val = (np.abs(rng.normal(size=(args.docs, args.nnz_doc))
-                      ).astype(np.float32) + 0.1)
+    # bulk synthetic corpus (shared recipe: splade_tpu.utils.synth)
+    from splade_tpu.utils.synth import zipf_corpus_csr
+
+    all_idx, all_val = zipf_corpus_csr(rng, args.docs, V, args.nnz_doc)
     idx.add_csr([f"d{i}" for i in range(args.docs)], all_idx, all_val)
     gen_s = time.time() - t0
     t0 = time.time()
@@ -131,7 +130,9 @@ def main() -> None:
         "batch": B,
         "qps": round(qps, 1),
         "ms_per_query": round(1e3 / qps, 4),
-        "topk": "approx" if approx else "exact",
+        # the sort aggregation is always exact top-k over its pool
+        "topk": ("exact" if args.scoring == "sort" or not approx
+                 else "approx"),
         "rescore_candidates": args.rescore,
         "scoring": args.scoring,
         "runs_s": [round(t, 3) for t in times],

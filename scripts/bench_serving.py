@@ -91,6 +91,10 @@ def main() -> int:
     p.add_argument("--max-batch-size", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     args = p.parse_args()
+    if not args.docs and not args.synthetic_docs:
+        p.error("either --docs or --synthetic-docs is required")
+    if args.synthetic_docs and args.index != "postings":
+        p.error("--synthetic-docs requires --index postings")
 
     from splade_tpu.benchmark.encoders import SparseEncoderV33
     from splade_tpu.serving.engine import build_engine_from_docs
@@ -107,17 +111,15 @@ def main() -> int:
         from splade_tpu.ops.postings_index import TpuPostingsIndex
         from splade_tpu.serving.engine import ServingEngine
 
-        assert args.index == "postings", "--synthetic-docs implies postings"
+        from splade_tpu.utils.synth import zipf_corpus_csr
+
         rng = np.random.default_rng(0)
-        n, nnz, V = args.synthetic_docs, 54, len(tokenizer)
+        n, V = args.synthetic_docs, len(tokenizer)
         index = TpuPostingsIndex(V, n_postings=args.n_postings,
                                  query_top_t=32,
                                  rescore_candidates=args.rescore)
-        index.add_csr(
-            [f"d{i}" for i in range(n)],
-            (rng.zipf(1.3, size=n * nnz) % V).astype(
-                np.int32).reshape(n, nnz),
-            (np.abs(rng.normal(size=(n, nnz))) + 0.1).astype(np.float32))
+        index.add_csr([f"d{i}" for i in range(n)],
+                      *zipf_corpus_csr(rng, n, V))
         index.build()
         engine = ServingEngine(enc.model, enc.params, tokenizer, index,
                                query_top_k=32)

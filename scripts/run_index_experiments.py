@@ -146,12 +146,27 @@ def main():
     # truncated (short-cap) postings.
     tp2 = {}
     short_cap = max(4, df_cap // 4)
+    base_idx = None
     for C in sorted({args.k, args.k * 2, args.k * 5, args.k * 20}):
-        pidx = TpuPostingsIndex(
-            args.vocab, n_postings=short_cap, query_top_t=33, approx=False,
-            rescore_candidates=min(C, args.docs))
-        pidx.add_batch(doc_ids, docs)
-        pidx.build()
+        # scoring='scatter' so the candidate count is honored exactly:
+        # sort mode caps candidates at T*P, which can be below the larger
+        # C sweep points and would silently measure a smaller pool
+        if base_idx is None:
+            base_idx = TpuPostingsIndex(
+                args.vocab, n_postings=short_cap, query_top_t=33,
+                approx=False, rescore_candidates=min(C, args.docs),
+                scoring="scatter")
+            base_idx.add_batch(doc_ids, docs)
+            base_idx.build()
+            pidx = base_idx
+        else:
+            # the postings/doc-major structures are C-independent: share
+            # them and only re-make the search jit for the new C
+            import copy
+
+            pidx = copy.copy(base_idx)
+            pidx.rescore_candidates = min(C, args.docs)
+            pidx._make_search()
         recs = [
             recall_vs_exact(pidx.search_vector(qi, qv, k=args.k),
                             exact_results[i], args.k)
