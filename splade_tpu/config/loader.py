@@ -64,7 +64,9 @@ def apply_env_overrides(
     nesting, typed parsing, silently ignores unknown sections).
     """
     environ = os.environ if environ is None else environ
-    out = {k: dict(v) if isinstance(v, dict) else v for k, v in cfg_dict.items()}
+    import copy
+
+    out = copy.deepcopy(cfg_dict)  # overrides must not mutate the caller
     for name, raw in environ.items():
         if not name.startswith(ENV_PREFIX) or "__" not in name:
             continue

@@ -127,7 +127,18 @@ class V33Config:
         ):
             val = getattr(self, name)
             if isinstance(val, dict):
-                setattr(self, name, cls(**val))
+                known = {f.name for f in dataclasses.fields(cls)}
+                unknown = set(val) - known
+                if unknown:
+                    # reference semantics: unknown keys are dropped, not a
+                    # crash — but say so (typo'd env vars land here)
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "config section %r: ignoring unknown keys %s",
+                        name, sorted(unknown))
+                setattr(self, name,
+                        cls(**{k: v for k, v in val.items() if k in known}))
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -39,6 +39,11 @@ class TripletCollator:
         self.doc_max_length = doc_max_length or max_length
         self.num_hard_negatives = max(int(num_hard_negatives), 1)
         self.length_buckets = tuple(length_buckets) if length_buckets else None
+        if self.length_buckets and any(
+                not 0 < f <= 1.0 for f in self.length_buckets):
+            raise ValueError(
+                f"length_buckets are FRACTIONS of max_length in (0, 1]: "
+                f"{self.length_buckets}")
 
     def _bucket_lengths(self, max_length: int) -> List[int]:
         if not self.length_buckets:

@@ -72,7 +72,11 @@ class ShardedBatchIterator:
         return order[self.process_index::P]
 
     def __len__(self) -> int:
-        per_proc = len(self._indices())
+        # pure arithmetic: materializing the O(n) permutation just to count
+        # batches costs seconds + GBs at 10^7-triplet scale
+        n = len(self.dataset)
+        P = self.process_count
+        per_proc = (n + (-n % P)) // P
         if self.drop_last:
             return per_proc // self.batch_size
         return -(-per_proc // self.batch_size)

@@ -49,6 +49,7 @@ def export_checkpoint_to_hf(
     ckpt_dir: str,
     output_dir: str,
     tokenizer_path: Optional[str] = None,
+    num_attention_heads: Optional[int] = None,
 ) -> str:
     """model.msgpack checkpoint dir -> HF dir (config.json, model.safetensors,
     tokenizer files)."""
@@ -60,25 +61,37 @@ def export_checkpoint_to_hf(
     from splade_tpu.utils.tokenizer import create_tokenizer
 
     tokenizer = create_tokenizer(tokenizer_path)
-    config = ModernBertConfig(vocab_size=len(tokenizer),
-                              pad_token_id=tokenizer.pad_token_id)
 
-    # Load params from msgpack with a shape-only template.
-    import jax
-    import jax.numpy as jnp
+    # Restore the raw msgpack tree WITHOUT a shape template (a template
+    # built from default ModernBertConfig would reject any non-default
+    # architecture), then derive the architecture from the weights.
+    from flax import serialization
 
-    from splade_tpu.models.splade import SpladeEncoder
-    from splade_tpu.train.checkpoint import load_params
+    params = serialization.msgpack_restore(
+        (Path(ckpt_dir) / "model.msgpack").read_bytes())
+    mlm = params["mlm"]
+    emb = mlm["tok_embeddings"]["embedding"]
+    n_groups = next(                      # blocks are [n_groups, ...] scan-stacked
+        x.shape[0] for x in
+        __import__("jax").tree_util.tree_leaves(mlm["blocks"]))
+    config = ModernBertConfig(
+        vocab_size=emb.shape[0],
+        hidden_size=emb.shape[1],
+        num_hidden_layers=1 + 3 * n_groups,  # layer0 + [local,local,global]*
+        intermediate_size=(
+            mlm["layer0"]["mlp"]["Wi"]["kernel"].shape[1] // 2),  # GeGLU 2x
+        # heads are not recoverable from fused qkv weights; pass
+        # num_attention_heads for non-default checkpoints (metadata only —
+        # the exported WEIGHTS are head-count-agnostic)
+        **({"num_attention_heads": num_attention_heads}
+           if num_attention_heads else {}),
+        pad_token_id=tokenizer.pad_token_id,
+    )
+    if config.vocab_size != len(tokenizer):
+        logger.warning("checkpoint vocab %d != tokenizer vocab %d",
+                       config.vocab_size, len(tokenizer))
 
-    model = SpladeEncoder(config)
-    ids = jnp.zeros((1, 8), jnp.int32)
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids)))
-    template = jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, s.dtype), shapes["params"])
-    params = load_params(ckpt_dir, template)
-
-    state = export_to_hf_state_dict(params["mlm"], config)
+    state = export_to_hf_state_dict(mlm, config)
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     # safetensors forbids shared memory: decoder.weight is tied to the

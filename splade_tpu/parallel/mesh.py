@@ -42,13 +42,3 @@ def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def put_batch(batch: dict, mesh: Mesh, batch_axis: int = 0) -> dict:
-    """Device-put numpy arrays in a batch dict with data-axis sharding."""
-    sh = batch_sharding(mesh, batch_axis)
-    out = {}
-    for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.ndim > batch_axis:
-            out[k] = jax.device_put(v, sh)
-        else:
-            out[k] = v
-    return out

@@ -181,6 +181,14 @@ class Trainer:
             evaluator = MidTrainingEvaluator(list(val_data), collator)
         self.evaluator = evaluator
 
+        if (jax.process_count() > 1
+                and getattr(collator, "length_buckets", None)):
+            # bucket choice depends on each host's LOCAL batch content, so
+            # per-process shapes would diverge and break global-array
+            # assembly — pad to max on pods
+            logger.warning("multi-host run: disabling length bucketing "
+                           "(content-dependent shapes diverge across hosts)")
+            collator.length_buckets = None
         n_dev = self.mesh.devices.size
         self.global_batch = cfg.data.batch_size * n_dev
         self.accum = cfg.training.gradient_accumulation_steps

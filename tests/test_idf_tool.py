@@ -31,17 +31,22 @@ def tokenizer():
 
 
 def test_idf_formulas():
+    # deterministic token ids: python's str hash is per-process randomized
+    # (PYTHONHASHSEED), and `hash(w) % 10` collides between tokens ~28% of
+    # the time, silently changing document frequencies -> flaky
+    vocab = {"a": 0, "b": 1, "c": 2}
+
     class Tok:
         def __call__(self, text, **kw):
-            return {"input_ids": [hash(w) % 10 for w in text.split()]}
+            return {"input_ids": [vocab[w] for w in text.split()]}
 
     texts = ["a b", "a", "c"]
     idf, meta = compute_idf(texts, Tok(), 10, mode="bm25")
     assert meta["num_docs"] == 3
-    ida = idf[hash("a") % 10]
+    ida = idf[vocab["a"]]
     assert ida == pytest.approx(math.log(1 + (3 - 2 + 0.5) / 2.5))
     idf_std, _ = compute_idf(texts, Tok(), 10, mode="standard")
-    assert idf_std[hash("a") % 10] == pytest.approx(math.log(3 / 3))
+    assert idf_std[vocab["a"]] == pytest.approx(math.log(3 / 3))
 
 
 def test_cpp_tool_matches_python_reference(tool, tokenizer, tmp_path):

@@ -124,3 +124,51 @@ def test_hf_export_roundtrip(tmp_path):
     model2 = SpladeEncoder(cfg2, pool_impl="streamed", pool_tile=6250)
     r2, _ = model2.apply({"params": {"mlm": params2}}, ids, mask)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+
+def test_export_public_fn_non_default_architecture(tmp_path):
+    """export_checkpoint_to_hf derives the architecture from the checkpoint
+    weights (a template from default ModernBertConfig would reject any
+    non-default checkpoint — found by review)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from splade_tpu.export.hf_export import export_checkpoint_to_hf
+    from splade_tpu.models.modernbert import ModernBertConfig
+    from splade_tpu.models.splade import SpladeEncoder
+
+    class Tok:
+        pad_token_id = 511
+        all_special_ids = [0, 1]
+
+        def __len__(self):
+            return 512
+
+        def save_pretrained(self, d):
+            pass
+
+    cfg = ModernBertConfig.tiny(num_hidden_layers=7)  # layer0 + 2 groups
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "model.msgpack").write_bytes(serialization.to_bytes(params))
+
+    import splade_tpu.utils.tokenizer as tokmod
+    orig = tokmod.create_tokenizer
+    tokmod.create_tokenizer = lambda *a, **k: Tok()
+    try:
+        out = export_checkpoint_to_hf(str(ckpt), str(tmp_path / "hf"),
+                                      num_attention_heads=4)
+    finally:
+        tokmod.create_tokenizer = orig
+    hf_cfg = json.loads((tmp_path / "hf" / "config.json").read_text())
+    assert hf_cfg["num_hidden_layers"] == 7
+    assert hf_cfg["hidden_size"] == 64
+    assert hf_cfg["intermediate_size"] == 96
+    assert hf_cfg["vocab_size"] == 512
+    assert (tmp_path / "hf" / "model.safetensors").exists()
