@@ -214,6 +214,34 @@ class DenseEncoderBase:
         raise NotImplementedError
 
 
+class TeacherDenseEncoder(DenseEncoderBase):
+    """Runnable dense (BGE-M3) baseline for the benchmark harness.
+
+    Reference: benchmark/encoders.py:24-69 (``BgeM3Encoder`` — normalized
+    1024-d sentence embeddings) and :405-422 (``create_encoders_v33`` wires
+    the sparse and dense encoders together). The TPU build backs it with the
+    ported XLM-R/BGE-M3 teacher (jitted Flax encode) instead of
+    sentence-transformers, so the ``semantic`` baseline and every
+    sparse+dense hybrid are runnable from the CLI via ``--dense-checkpoint``.
+    """
+
+    def __init__(self, teacher):
+        self.teacher = teacher
+        self.dim = int(teacher.model.config.hidden_size)
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        return self.teacher.encode(texts)
+
+    @classmethod
+    def from_hf_dir(cls, model_dir: str, max_length: int = 512,
+                    batch_size: int = 16, tokenizer=None) -> "TeacherDenseEncoder":
+        from splade_tpu.models.teachers import BGEM3Teacher
+
+        return cls(BGEM3Teacher.from_hf_dir(
+            model_dir, tokenizer=tokenizer, max_length=max_length,
+            batch_size=batch_size))
+
+
 class PrecomputedDenseEncoder(DenseEncoderBase):
     """Embeddings from an external model, precomputed to disk.
 

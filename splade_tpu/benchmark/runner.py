@@ -45,11 +45,13 @@ class BenchmarkRunner:
         output_dir: str = "outputs/benchmark",
         index_backend: str = "exact",
         external_dense_encoder=None,
+        bm25_analyzer=None,
     ):
         self.data = data
         self.sparse_encoder = sparse_encoder
         self.dense_encoder = dense_encoder
         self.external_dense_encoder = external_dense_encoder
+        self.bm25_analyzer = bm25_analyzer
         self.tokenizer = tokenizer
         self.top_k = top_k
         self.include_hybrid = include_hybrid
@@ -90,8 +92,9 @@ class BenchmarkRunner:
         texts = [self.data.corpus[d] for d in doc_ids]
         t0 = time.time()
 
-        bm25 = None
-        if self.tokenizer is not None:
+        if self.bm25_analyzer is not None:
+            bm25 = BM25Index(analyzer=self.bm25_analyzer)
+        elif self.tokenizer is not None:
             bm25 = BM25Index(analyzer=make_wordpiece_analyzer(self.tokenizer))
         else:
             bm25 = BM25Index()
@@ -222,8 +225,23 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--no-sparse", action="store_true")
     p.add_argument("--index", default="exact", choices=["exact", "tpu"],
                    help="sparse index backend: exact CPU CSR or TPU-resident")
+    p.add_argument("--bm25-analyzer", default="wordpiece",
+                   choices=["wordpiece", "whitespace", "korean-heuristic",
+                            "morphological"],
+                   help="BM25 term analyzer; 'morphological' needs "
+                        "kiwipiepy/mecab-ko (nori parity), "
+                        "'korean-heuristic' is the offline josa-stripping "
+                        "stand-in (see scripts/analyzer_sensitivity.py)")
     p.add_argument("--encodings", default=None,
                    help="npz path: reuse if it exists, else save after encoding")
+    p.add_argument("--dense-checkpoint", default=None,
+                   help="local HF dir of the dense (BGE-M3 / XLM-R) model — "
+                        "enables the semantic baseline and all sparse+dense "
+                        "hybrids (reference: encoders.py:405-422 "
+                        "create_encoders_v33)")
+    p.add_argument("--dense-max-length", type=int, default=512,
+                   help="dense encoder truncation length")
+    p.add_argument("--dense-batch-size", type=int, default=16)
     p.add_argument("--external-dense", default=None,
                    help="npz of precomputed external-model embeddings "
                         "(hashes+embeddings) — joins as a 4th model with "
@@ -265,17 +283,35 @@ def main(argv: Optional[list] = None) -> int:
 
         sparse_encoder = SparseEncoderV33.from_any(args.checkpoint, tokenizer)
 
+    dense_encoder = None
+    if args.dense_checkpoint:
+        from splade_tpu.benchmark.encoders import TeacherDenseEncoder
+
+        dense_encoder = TeacherDenseEncoder.from_hf_dir(
+            args.dense_checkpoint, max_length=args.dense_max_length,
+            batch_size=args.dense_batch_size)
+        logger.info("dense encoder loaded from %s (dim=%d)",
+                    args.dense_checkpoint, dense_encoder.dim)
+
     external = None
     if args.external_dense:
         from splade_tpu.benchmark.encoders import PrecomputedDenseEncoder
 
         external = PrecomputedDenseEncoder(args.external_dense)
 
+    bm25_analyzer = None
+    if args.bm25_analyzer != "wordpiece":
+        from splade_tpu.benchmark.bm25 import resolve_analyzer
+
+        bm25_analyzer = resolve_analyzer(args.bm25_analyzer, tokenizer)
+
     runner = BenchmarkRunner(
-        data, sparse_encoder=sparse_encoder, tokenizer=tokenizer,
+        data, sparse_encoder=sparse_encoder, dense_encoder=dense_encoder,
+        tokenizer=tokenizer,
         top_k=args.top_k, include_hybrid=not args.no_hybrid,
         output_dir=args.output_dir or f"outputs/benchmark/{args.dataset}",
-        index_backend=args.index, external_dense_encoder=external)
+        index_backend=args.index, external_dense_encoder=external,
+        bm25_analyzer=bm25_analyzer)
     if args.encodings and Path(args.encodings).exists():
         runner.load_encodings(args.encodings)
     summary = runner.run()
