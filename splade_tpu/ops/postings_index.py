@@ -343,6 +343,9 @@ class TpuPostingsIndex:
         self._tombstones: set = set()  # deleted doc positions (see delete)
         self._id_pos: Optional[Dict[str, int]] = None
 
+    #: static-k tiers for the jitted base search (see search_topk)
+    _K_TIERS = (10, 20, 50, 100, 200, 500, 1000)
+
     #: LSM-style incremental adds: documents added AFTER build() become a
     #: host-side delta segment scored exactly and merged into results, so
     #: serving never pays a full rebuild (or a fused-jit recompile) per
@@ -357,6 +360,8 @@ class TpuPostingsIndex:
         self._doc_idx.append(idx)
         self._doc_val.append(np.asarray(values, np.float32))
         self.nnz += len(idx)
+        if self._id_pos is not None:  # keep the lookup map incremental
+            self._id_pos[doc_id] = len(self.doc_ids) - 1
         self._on_add()
 
     def _on_add(self) -> None:
@@ -374,10 +379,14 @@ class TpuPostingsIndex:
         """Bulk staging: [N, nnz] rectangular term-id/weight blocks (million-
         doc corpora skip the per-doc python loop)."""
         assert len(doc_ids) == len(indices) == len(values)
+        start = len(self.doc_ids)
         self.doc_ids.extend(doc_ids)
         self._doc_idx.extend(np.asarray(indices, np.int32))
         self._doc_val.extend(np.asarray(values, np.float32))
         self.nnz += int(np.prod(np.asarray(indices).shape))
+        if self._id_pos is not None:
+            for i, d in enumerate(doc_ids):
+                self._id_pos[d] = start + i
         self._on_add()
 
     @property
@@ -388,9 +397,10 @@ class TpuPostingsIndex:
 
     # -------------------------------------------------------- delete/update
     def _positions(self) -> Dict[str, int]:
-        """doc_id -> position, maintained incrementally (delete at 10^7-doc
-        scale must not scan the whole id list per request)."""
-        if self._id_pos is None or len(self._id_pos) != len(self.doc_ids):
+        """doc_id -> position (last-wins on duplicates), built once and then
+        maintained incrementally by add()/add_csr() — delete/update at
+        10^7-doc scale must not rebuild the whole map per request."""
+        if self._id_pos is None:
             self._id_pos = {d: i for i, d in enumerate(self.doc_ids)}
         return self._id_pos
 
@@ -604,8 +614,18 @@ class TpuPostingsIndex:
             q_indices = np.pad(q_indices, ((0, pad_b), (0, 0)))
             q_values = np.pad(q_values, ((0, pad_b), (0, 0)))
         # the jitted base search only covers the built segment; over-fetch
-        # by the tombstone count so deletes don't shrink results below k
-        k_base = min(k + len(self._tombstones), self._base_n)
+        # by the tombstone count so deletes don't shrink results below k.
+        # k is a STATIC arg of the jitted search: quantize to a tier so a
+        # changing tombstone count doesn't recompile per delete (the serving
+        # engine does the same via _quantize_k).
+        k_base = k + len(self._tombstones)
+        for tier in self._K_TIERS:
+            if k_base <= tier:
+                k_base = tier
+                break
+        else:  # beyond the tier table: round up to the next multiple of 1000
+            k_base = -(-k_base // 1000) * 1000
+        k_base = min(k_base, self._base_n)
         vals, idxs = self._search_jit(
             jnp.asarray(q_indices), jnp.asarray(q_values), k_base)
         vals = np.asarray(vals)[:B]
@@ -646,7 +666,10 @@ class TpuPostingsIndex:
         with open(tmp, "wb") as f:
             np.savez_compressed(
                 f,
-                doc_ids=np.asarray(self.doc_ids, dtype=object),
+                # fixed-width unicode, NOT dtype=object: the archive must
+                # load with allow_pickle=False (an object array would make
+                # --index-cache files a pickle-execution vector)
+                doc_ids=np.asarray(self.doc_ids, dtype=np.str_),
                 lens=lens,
                 terms=np.concatenate(self._doc_idx) if len(lens) else
                 np.zeros(0, np.int32),
@@ -666,7 +689,7 @@ class TpuPostingsIndex:
     def load(cls, path: str, **overrides) -> "TpuPostingsIndex":
         """Restore a saved corpus and build the device structures. Saved
         config (vocab/cap/top-T/rescore) applies unless overridden."""
-        with np.load(path, allow_pickle=True) as z:
+        with np.load(path, allow_pickle=False) as z:
             vocab, P, top_t, C = (int(x) for x in z["config"])
             kw = dict(n_postings=P, query_top_t=top_t, rescore_candidates=C)
             kw.update(overrides)

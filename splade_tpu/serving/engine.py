@@ -280,8 +280,15 @@ class ServingEngine:
                 # LSM path: small deltas are scored host-side and merged,
                 # deletes are tombstone-filtered — no rebuild, no fused-jit
                 # recompile. Past the threshold, compact and re-jit once.
+                # Deletes ALSO compact once they approach max_k: the
+                # tombstone over-fetch is clamped at max_k, so past that
+                # point a query whose top base hits are all tombstoned
+                # could return fewer than k results.
+                delete_cap = min(self.delta_compact_threshold,
+                                 max(self.max_k // 2, 1))
                 if (self.index.delta_count + self.index.deleted_count
-                        > self.delta_compact_threshold):
+                        > self.delta_compact_threshold
+                        or self.index.deleted_count > delete_cap):
                     self.index.compact()
                     self._build_postings_fused()
             elif len(self.index) != self._postings_n:

@@ -61,6 +61,11 @@ int64_t build_postings(const int32_t* terms, const float* vals,
                        int32_t P, int32_t* post_docs, float* post_w,
                        int32_t n_threads) {
   if (nnz < 0 || vocab <= 0 || P <= 0) return -1;
+  // uphold the zero-padding contract here, not in the caller: terms with
+  // fewer than P postings must read back as (doc 0, weight 0) tail slots
+  size_t out_n = static_cast<size_t>(vocab) * static_cast<size_t>(P);
+  std::memset(post_docs, 0, out_n * sizeof(int32_t));
+  std::memset(post_w, 0, out_n * sizeof(float));
   unsigned threads = n_threads > 0
                          ? static_cast<unsigned>(n_threads)
                          : std::max(1u, std::thread::hardware_concurrency());
