@@ -111,6 +111,57 @@ class TestBM25:
         assert idx._idf["z"] == pytest.approx(np.log(1 + (3 - 1 + 0.5) / 1.5))
 
 
+class TestKoreanAnalyzers:
+    def test_heuristic_strips_josa(self):
+        from splade_tpu.benchmark.bm25 import korean_heuristic_analyzer as an
+
+        assert an("한국어는 어렵다") == ["한국어", "어렵다"]
+        assert an("검색엔진이 문서를 찾는다") == ["검색엔진", "문서", "찾는다"]
+        # non-Korean tokens pass through lowercased, punctuation stripped
+        assert an("JAX, rocks!") == ["jax", "rocks"]
+        # a bare particle-like syllable is not stripped to empty
+        assert an("은 는") == ["은", "는"]
+
+    def test_heuristic_improves_bm25_on_inflected_docs(self):
+        """Query with bare nouns must match josa-inflected document forms —
+        the regime the nori analyzer wins at (reference:
+        index_manager.py:47-79); whitespace matching fails here."""
+        from splade_tpu.benchmark.bm25 import korean_heuristic_analyzer
+
+        docs = [("pos", "검색엔진은 문서를 색인한다"),
+                ("neg", "김치는 발효 음식이다")]
+        q = "검색엔진 문서"
+        ws = BM25Index(analyzer=whitespace_analyzer)
+        ws.add_documents(docs)
+        ws.finalize()
+        assert ws.search(q, 2) == []  # no surface-form overlap at all
+        ko = BM25Index(analyzer=korean_heuristic_analyzer)
+        ko.add_documents(docs)
+        ko.finalize()
+        res = ko.search(q, 2)
+        assert res and res[0][0] == "pos"
+
+    def test_morphological_backend_gating(self):
+        from splade_tpu.benchmark.bm25 import make_morphological_analyzer
+
+        for backend in ("auto", "kiwi", "mecab"):
+            try:
+                make_morphological_analyzer(backend)
+            except ImportError as e:
+                assert "korean_heuristic_analyzer" in str(e) or "install" in str(e)
+
+    def test_resolve_analyzer(self):
+        from splade_tpu.benchmark.bm25 import (
+            korean_heuristic_analyzer, resolve_analyzer)
+
+        assert resolve_analyzer("whitespace") is whitespace_analyzer
+        assert resolve_analyzer("korean-heuristic") is korean_heuristic_analyzer
+        with pytest.raises(ValueError):
+            resolve_analyzer("wordpiece")  # needs a tokenizer
+        with pytest.raises(ValueError):
+            resolve_analyzer("nope")
+
+
 class TestExactIndexes:
     def test_sparse_exact_dot(self):
         idx = ExactSparseIndex(vocab_size=10)
