@@ -216,8 +216,13 @@ class Trainer:
             self.batch_sharding = None
         self.step_fn = make_train_step(model, cfg, self.mesh, self.state.tx)
 
-        self.writer = MetricWriter(f"{self.output_dir}/tb")
-        self.tracker = MetricsTracker(self.output_dir, best_metric="loss")
+        # Rank-0-only metric sinks: on a pod every host runs this loop, but
+        # only process 0 may append to the shared output_dir (reference
+        # logs rank-0 only, train_v33_ddp.py:377-442).
+        is_main = jax.process_index() == 0
+        self.writer = MetricWriter(f"{self.output_dir}/tb", enabled=is_main)
+        self.tracker = MetricsTracker(self.output_dir, best_metric="loss",
+                                      enabled=is_main)
         self.ema_nonzero_q = MovingAverage(0.9)
         self.ema_nonzero_d = MovingAverage(0.9)
         self.start_epoch = 1

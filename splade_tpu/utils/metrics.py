@@ -49,9 +49,16 @@ class MetricsTracker:
     Reference: src/train/utils/metrics.py:198-320.
     """
 
-    def __init__(self, output_dir: str, best_metric: str = "loss", best_mode: str = "min"):
+    def __init__(self, output_dir: str, best_metric: str = "loss",
+                 best_mode: str = "min", enabled: bool = True):
+        """enabled=False: track best values in memory but write nothing —
+        used by non-zero processes of a multi-host run so a shared
+        output_dir isn't appended to by every host (reference logs rank-0
+        only, train_v33_ddp.py:377-442)."""
+        self.enabled = enabled
         self.output_dir = Path(output_dir)
-        self.output_dir.mkdir(parents=True, exist_ok=True)
+        if enabled:
+            self.output_dir.mkdir(parents=True, exist_ok=True)
         self.path = self.output_dir / "metrics.jsonl"
         self.best_metric = best_metric
         self.best_mode = best_mode
@@ -64,8 +71,9 @@ class MetricsTracker:
         record: Dict[str, Any] = {"step": step, "time": time.time() - self._start}
         record.update({k: _to_float(v) for k, v in metrics.items()})
         record.update(extra)
-        with open(self.path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+        if self.enabled:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(record) + "\n")
         self.num_records += 1
         val = record.get(self.best_metric)
         if isinstance(val, (int, float)):
@@ -86,7 +94,8 @@ class MetricsTracker:
             "best_step": self.best_step,
             "elapsed_sec": time.time() - self._start,
         }
-        (self.output_dir / "summary.json").write_text(json.dumps(s, indent=2))
+        if self.enabled:
+            (self.output_dir / "summary.json").write_text(json.dumps(s, indent=2))
         return s
 
 
