@@ -1,0 +1,137 @@
+"""Train-step throughput sweep (VERDICT r1 item 5: push per-chip MFU).
+
+Measures triplets/s/chip for a grid of (micro-batch, accum, remat,
+with_token_weights, pool_tile) variants of the V33 step on the local
+device. Writes docs/TRAIN_VARIANTS.json.
+
+Each variant pays a full compile through the tunnel (~2-4 min) — budget
+accordingly; run variants=... subsets via --only.
+"""
+
+from __future__ import annotations
+
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+VARIANTS = {
+    # name: (micro_B, accum, remat, token_weights, pool_tile)
+    "base_16x4": (16, 4, False, True, 6250),
+    "no_tw_16x4": (16, 4, False, False, 6250),
+    "no_tw_24x3": (24, 3, False, False, 6250),
+    "no_tw_32x2": (32, 2, False, False, 6250),
+    "no_tw_32x2_remat": (32, 2, True, False, 6250),
+    "no_tw_16x4_tile12500": (16, 4, False, False, 12500),
+    "no_tw_48x2_remat": (48, 2, True, False, 6250),
+}
+
+
+def run_variant(name, micro_b, accum, remat, token_weights, pool_tile,
+                steps=8):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splade_tpu.config.v33 import V33Config
+    from splade_tpu.models.modernbert import ModernBertConfig
+    from splade_tpu.models.splade import SpladeEncoder
+    from splade_tpu.parallel.mesh import make_mesh
+    from splade_tpu.train.state import create_train_state
+    from splade_tpu.train.trainer import make_train_step, stack_microbatches
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    mesh = make_mesh(devices=devices)
+    B = micro_b * n_chips
+    cfg = V33Config.from_dict({
+        "data": {"batch_size": micro_b},
+        "training": {"gradient_accumulation_steps": accum},
+    })
+    mcfg = ModernBertConfig(dtype=jnp.bfloat16, remat=remat)
+    model = SpladeEncoder(mcfg, pool_impl="streamed", pool_tile=pool_tile,
+                          with_token_weights=token_weights)
+    ids0 = jnp.zeros((1, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids0, jnp.ones_like(ids0))["params"]
+    state = create_train_state(params, cfg.training, total_steps=1000)
+    step_fn = make_train_step(model, cfg, mesh, state.tx)
+
+    rng = np.random.default_rng(0)
+
+    def tok(n, L):
+        ids = rng.integers(3, mcfg.vocab_size - 2, size=(n, L)).astype(np.int32)
+        lengths = rng.integers(L // 2, L + 1, size=(n,))
+        mask = (np.arange(L)[None] < lengths[:, None]).astype(np.int32)
+        return np.where(mask > 0, ids, mcfg.pad_token_id), mask
+
+    micro = []
+    for _ in range(accum):
+        qi, qm = tok(B, 64)
+        pi, pm = tok(B, 256)
+        ni, nm = tok(B, 256)
+        micro.append({
+            "query_input_ids": qi, "query_attention_mask": qm,
+            "positive_input_ids": pi, "positive_attention_mask": pm,
+            "negative_input_ids": ni, "negative_attention_mask": nm,
+        })
+    batch = stack_microbatches(micro)
+    if n_chips > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch = jax.device_put(batch, NamedSharding(mesh, P(None, mesh.axis_names[0])))
+    else:
+        batch = jax.device_put(batch)
+
+    params, opt_state, step = state.params, state.opt_state, state.step
+    t0 = time.time()
+    params, opt_state, step, metrics = step_fn(params, opt_state, step, batch)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(steps):
+        params, opt_state, step, metrics = step_fn(params, opt_state, step, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    per_chip = steps * B * accum / dt / n_chips
+    print(f"{name:24s} {per_chip:7.1f} triplets/s/chip  "
+          f"(step {dt/steps*1000:.0f}ms, compile {compile_s:.0f}s)", flush=True)
+    return {"triplets_per_sec_per_chip": round(per_chip, 1),
+            "step_ms": round(dt / steps * 1000, 1),
+            "compile_s": round(compile_s, 1),
+            "micro_batch": micro_b, "accum": accum, "remat": remat,
+            "with_token_weights": token_weights, "pool_tile": pool_tile}
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", default=None,
+                   help="comma-separated variant names (default: all)")
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--out", default="docs/TRAIN_VARIANTS.json")
+    args = p.parse_args()
+
+    names = (args.only.split(",") if args.only else list(VARIANTS))
+    out_path = Path(args.out)
+    results = {}
+    if out_path.exists():
+        results = json.loads(out_path.read_text())
+    for name in names:
+        spec = VARIANTS[name]
+        try:
+            results[name] = run_variant(name, *spec, steps=args.steps)
+        except Exception as e:  # OOM etc. — record and continue
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        out_path.write_text(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -308,6 +308,16 @@ class Trainer:
             "training: %d epochs x %d steps (global batch %d x accum %d) on %d devices",
             cfg.num_epochs, self.steps_per_epoch, self.global_batch, self.accum,
             self.mesh.devices.size)
+        # Run hyperparameters into TB/JSONL once (reference: log_hparams,
+        # utils/logging.py:241-254).
+        flat = {}
+        for section, vals in self.cfg.to_dict().items():
+            if isinstance(vals, dict):
+                flat.update({f"{section}.{k}": v for k, v in vals.items()
+                             if isinstance(v, (int, float, str, bool))})
+        flat["devices"] = int(self.mesh.devices.size)
+        flat["global_batch"] = self.global_batch
+        self.writer.hparams(flat)
         from splade_tpu.train.checkpoint import (
             save_checkpoint, wait_for_pending_saves)
 

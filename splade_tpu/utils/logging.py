@@ -109,8 +109,87 @@ class MetricWriter:
             self._events.flush()
 
     def text(self, tag: str, text: str, step: int = 0) -> None:
-        if self.enabled and self._tb is not None:
+        """Free-text event (reference: log_text, logging.py:224-240) —
+        JSONL always, TB when available."""
+        if not self.enabled:
+            return
+        if self._tb is not None:
             self._tb.add_text(tag, text, step)
+        if self._events is not None:
+            self._events.write(json.dumps(
+                {"t": time.time(), "step": step, "text": {tag: text}}) + "\n")
+            self._events.flush()
+
+    def histogram(self, tag: str, values, step: int, bins: int = 32) -> None:
+        """Distribution event (reference: log_histogram, logging.py:207-223).
+
+        TB gets the raw histogram; the JSONL sink records summary stats +
+        fixed-bin counts so headless runs keep the distribution shape."""
+        if not self.enabled:
+            return
+        import numpy as np
+
+        arr = np.asarray(values, np.float64).reshape(-1)
+        if arr.size == 0:
+            return
+        if self._tb is not None:
+            self._tb.add_histogram(tag, arr, step)
+        if self._events is not None:
+            counts, edges = np.histogram(arr, bins=bins)
+            self._events.write(json.dumps({
+                "t": time.time(), "step": step, "histogram": {tag: {
+                    "count": int(arr.size),
+                    "mean": float(arr.mean()), "std": float(arr.std()),
+                    "min": float(arr.min()), "max": float(arr.max()),
+                    "p50": float(np.percentile(arr, 50)),
+                    "p95": float(np.percentile(arr, 95)),
+                    "bin_edges": [round(float(e), 6) for e in edges],
+                    "bin_counts": [int(c) for c in counts],
+                }}}) + "\n")
+            self._events.flush()
+
+    def hparams(self, params: Mapping[str, Any],
+                metrics: Optional[Mapping[str, float]] = None) -> None:
+        """Run hyperparameters (+ optional final metrics) — reference:
+        log_hparams, logging.py:241-254."""
+        if not self.enabled:
+            return
+        clean = {k: (v if isinstance(v, (int, float, str, bool)) else str(v))
+                 for k, v in params.items()}
+        if self._tb is not None:
+            try:
+                self._tb.add_hparams(clean, dict(metrics or {}),
+                                     run_name=".")
+            except Exception:  # older TB without run_name etc.
+                pass
+        if self._events is not None:
+            self._events.write(json.dumps(
+                {"t": time.time(), "hparams": clean,
+                 "hparam_metrics": dict(metrics or {})}) + "\n")
+            self._events.flush()
+
+    # Convenience wrappers matching the reference logger's step/epoch API
+    # (reference: log_training_step :255-279, log_epoch :280-304).
+    def log_training_step(self, step: int, loss: float, learning_rate: float,
+                          loss_components: Optional[Mapping[str, float]] = None
+                          ) -> None:
+        self.scalar("train/loss", loss, step)
+        self.scalar("train/learning_rate", learning_rate, step)
+        for name, value in (loss_components or {}).items():
+            self.scalar(f"train/loss_{name}", value, step)
+        if self._events is not None:
+            self._events.flush()
+
+    def log_epoch(self, epoch: int, train_loss: float,
+                  val_loss: Optional[float] = None,
+                  metrics: Optional[Mapping[str, float]] = None) -> None:
+        self.scalar("epoch/train_loss", train_loss, epoch)
+        if val_loss is not None:
+            self.scalar("epoch/val_loss", val_loss, epoch)
+        for name, value in (metrics or {}).items():
+            self.scalar(f"epoch/{name}", value, epoch)
+        if self._events is not None:
+            self._events.flush()
 
     def close(self) -> None:
         if self._tb is not None:

@@ -6,6 +6,24 @@ import os
 from pathlib import Path
 
 
+def force_cpu_if_requested() -> None:
+    """Honor JAX_PLATFORMS=cpu even though this host's sitecustomize imports
+    jax (and registers the TPU plugin) before any script code runs — the env
+    var alone is too late, so override via jax.config and drop any created
+    backends (same dance as tests/conftest.py)."""
+    if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+        return
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        import jax.extend.backend as _jeb
+
+        _jeb.clear_backends()
+    except Exception:
+        pass
+
+
 def setup_jax_cache(cache_dir: str | None = None) -> None:
     """Optionally enable the persistent XLA compilation cache.
 
