@@ -55,6 +55,14 @@ benchmark-triplet-val:
 	$(PYTHON) -m splade_tpu.benchmark.runner --dataset triplet-val \
 	    --val-files "data/v29.0/val.jsonl" --checkpoint $(CHECKPOINT)
 
+# Rehearse the real quality-parity run on fake flagship-shaped artifacts:
+# port -> encode -> all three benchmark loaders -> BASELINE.md comparison
+# table (stamped SYNTHETIC WEIGHTS). When the real checkpoint + datasets
+# land, the same command with CHECKPOINT=... produces the 62.2/62.0/73.4
+# comparison.
+parity-rehearsal:
+	$(PYTHON) scripts/parity_rehearsal.py $(if $(CHECKPOINT),--checkpoint $(CHECKPOINT),)
+
 bench:
 	$(PYTHON) bench.py
 

@@ -22,14 +22,20 @@ from pathlib import Path
 
 
 VARIANTS = {
-    # name: (micro_B, accum, remat, token_weights, pool_tile)
+    # name: (micro_B, accum, remat: False|"full"|"dots", token_weights, pool_tile)
     "base_16x4": (16, 4, False, True, 6250),
     "no_tw_16x4": (16, 4, False, False, 6250),
     "no_tw_24x3": (24, 3, False, False, 6250),
     "no_tw_32x2": (32, 2, False, False, 6250),
-    "no_tw_32x2_remat": (32, 2, True, False, 6250),
+    "no_tw_32x2_remat": (32, 2, "full", False, 6250),
     "no_tw_16x4_tile12500": (16, 4, False, False, 12500),
-    "no_tw_48x2_remat": (48, 2, True, False, 6250),
+    "no_tw_48x2_remat": (48, 2, "full", False, 6250),
+    # selective remat: keep dense-projection outputs, recompute attention —
+    # frees the f32 [B,N,S,S] residuals that OOM'd no_tw_32x2
+    "no_tw_16x4_dots": (16, 4, "dots", False, 6250),
+    "no_tw_32x2_dots": (32, 2, "dots", False, 6250),
+    "no_tw_48x2_dots": (48, 2, "dots", False, 6250),
+    "no_tw_64x1_dots": (64, 1, "dots", False, 6250),
 }
 
 
@@ -54,7 +60,9 @@ def run_variant(name, micro_b, accum, remat, token_weights, pool_tile,
         "data": {"batch_size": micro_b},
         "training": {"gradient_accumulation_steps": accum},
     })
-    mcfg = ModernBertConfig(dtype=jnp.bfloat16, remat=remat)
+    mcfg = ModernBertConfig(
+        dtype=jnp.bfloat16, remat=bool(remat),
+        remat_policy="dots_no_batch" if remat == "dots" else "full")
     model = SpladeEncoder(mcfg, pool_impl="streamed", pool_tile=pool_tile,
                           with_token_weights=token_weights)
     ids0 = jnp.zeros((1, 16), jnp.int32)

@@ -1,0 +1,211 @@
+"""Postings-index recall on REAL ENCODER vectors at 1M docs (VERDICT r1 #7).
+
+Round-1 measured two-phase recall only on synthetic Zipf-sampled vectors;
+real SPLADE outputs have different term-frequency structure (activations are
+correlated with token co-occurrence, not independent). This script:
+
+  1. encodes 1M synthetic documents (random token-id sequences with a
+     Zipf-ish token distribution and realistic lengths) through the REAL
+     149M encoder — a trained checkpoint if given/found, else random init —
+     truncating each doc to its strongest 64 activations on device,
+  2. computes the EXACT top-10 host-side with scipy CSR (the dense
+     TpuImpactIndex upload would blow the tunnel budget at this scale),
+  3. measures two-phase postings recall@10 (P=128, rescore 200 — the
+     recommended 10M operating point) against the exact reference,
+  4. appends the result to docs/POSTINGS_BENCH.json keyed
+     ``encoder_vectors_1m``.
+
+Run: python scripts/recall_encoder_1m.py [--docs 1000000] [--checkpoint DIR]
+"""
+
+from __future__ import annotations
+
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_encoder(checkpoint: str | None):
+    import jax
+    import jax.numpy as jnp
+
+    from splade_tpu.models.modernbert import ModernBertConfig
+    from splade_tpu.models.splade import SpladeEncoder
+
+    cfg = ModernBertConfig(dtype=jnp.bfloat16)
+    model = SpladeEncoder(cfg, pool_impl="streamed", with_token_weights=False)
+    if checkpoint and Path(checkpoint).exists():
+        from splade_tpu.train.checkpoint import load_params
+
+        ids = jnp.zeros((1, 8), jnp.int32)
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids)))
+        template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes["params"])
+        params = load_params(checkpoint, template)
+        src = checkpoint
+    else:
+        ids = jnp.zeros((1, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
+        src = "random-init"
+    params = jax.device_put(params)
+    return model, params, cfg, src
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", type=int, default=1_000_000)
+    p.add_argument("--queries", type=int, default=256)
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--doc-top-k", type=int, default=64)
+    p.add_argument("--query-top-k", type=int, default=33)
+    p.add_argument("--doc-len", type=int, default=192)
+    p.add_argument("--n-postings", type=int, default=128)
+    p.add_argument("--rescore", type=int, default=200)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--checkpoint", default="/tmp/vrun/final_model",
+                   help="trained checkpoint dir (falls back to random init)")
+    p.add_argument("--out", default="docs/POSTINGS_BENCH.json")
+    p.add_argument("--key", default="encoder_vectors_1m")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    model, params, cfg, weights_src = build_encoder(args.checkpoint)
+    V = cfg.vocab_size
+    print(f"encoder weights: {weights_src}", flush=True)
+
+    def encode_topk(p_, ids, mask, k):
+        repr_, _ = model.apply({"params": p_}, ids, mask)
+        return jax.lax.top_k(repr_, k)
+
+    encode_jit = jax.jit(encode_topk, static_argnums=3)
+
+    # Zipf-ish token sampling over the 50K vocab (excluding specials at the
+    # vocab tail), correlated doc topics via per-doc offset mixtures.
+    rng = np.random.default_rng(0)
+    zipf_p = 1.0 / np.arange(1, V - 100 + 1) ** 0.9
+    zipf_p /= zipf_p.sum()
+
+    def sample_batch(n, L):
+        ids = rng.choice(V - 100, size=(n, L), p=zipf_p).astype(np.int32)
+        lengths = rng.integers(L // 4, L + 1, size=(n,))
+        mask = (np.arange(L)[None] < lengths[:, None]).astype(np.int32)
+        return np.where(mask > 0, ids, cfg.pad_token_id), mask
+
+    def encode_many(n, L, top_k, what):
+        B = args.batch
+        out_i = np.empty((n, top_k), np.int32)
+        out_v = np.empty((n, top_k), np.float32)
+        t0 = time.time()
+        pending = []  # (start, count, device vals, device idxs)
+        done = 0
+
+        def drain(entry):
+            nonlocal done
+            s, c, dv, di = entry
+            out_v[s:s + c] = np.asarray(dv)[:c]
+            out_i[s:s + c] = np.asarray(di)[:c]
+            done += c
+
+        for s in range(0, n, B):
+            c = min(B, n - s)
+            ids, mask = sample_batch(B, L)
+            dv, di = encode_jit(params, jnp.asarray(ids), jnp.asarray(mask),
+                                top_k)
+            pending.append((s, c, dv, di))
+            if len(pending) > 3:  # overlap tunnel RTT with device compute
+                drain(pending.pop(0))
+            if s // B % 100 == 0 and s:
+                rate = done / max(time.time() - t0, 1e-9)
+                print(f"  {what}: {done}/{n} ({rate:.0f}/s)", flush=True)
+        while pending:
+            drain(pending.pop(0))
+        print(f"  {what}: encoded {n} in {time.time()-t0:.0f}s", flush=True)
+        return out_i, out_v
+
+    t_all = time.time()
+    d_idx, d_val = encode_many(args.docs, args.doc_len, args.doc_top_k, "docs")
+    q_idx, q_val = encode_many(args.queries, 64, args.query_top_k, "queries")
+    # zero-weight activations (possible on short docs) stay but are harmless
+    d_val = np.maximum(d_val, 0.0)
+    q_val = np.maximum(q_val, 0.0)
+    mean_nnz = float((d_val > 0).sum(axis=1).mean())
+    print(f"mean doc nnz (of top-{args.doc_top_k}): {mean_nnz:.1f}", flush=True)
+
+    # ---- exact reference host-side (scipy CSR)
+    from scipy import sparse
+
+    t0 = time.time()
+    indptr = np.arange(0, (args.docs + 1) * args.doc_top_k, args.doc_top_k)
+    docs_csr = sparse.csr_matrix(
+        (d_val.reshape(-1), d_idx.reshape(-1).astype(np.int64), indptr),
+        shape=(args.docs, V))
+    q_dense = np.zeros((args.queries, V), np.float32)
+    for i in range(args.queries):
+        q_dense[i, q_idx[i]] = q_val[i]
+    scores = docs_csr @ q_dense.T  # [docs, Q]
+    part = np.argpartition(-scores, args.k - 1, axis=0)[: args.k]  # [k, Q]
+    part_scores = np.take_along_axis(scores, part, axis=0)
+    order = np.argsort(-part_scores, axis=0)
+    exact = np.take_along_axis(part, order, axis=0).T  # [Q, k]
+    print(f"exact reference in {time.time()-t0:.0f}s", flush=True)
+
+    # ---- postings index (two-phase)
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+
+    t0 = time.time()
+    index = TpuPostingsIndex(
+        V, n_postings=args.n_postings, query_top_t=args.query_top_k,
+        rescore_candidates=args.rescore, scoring="sort")
+    index.add_csr([str(i) for i in range(args.docs)], d_idx, d_val)
+    index.build()
+    build_s = time.time() - t0
+    print(f"postings build in {build_s:.0f}s "
+          f"(truncated {index.truncated_postings} postings)", flush=True)
+
+    t0 = time.time()
+    got = index.search_topk(q_idx, q_val, k=args.k)
+    search_s = time.time() - t0
+    recalls = []
+    for qi in range(args.queries):
+        want = {str(d) for d in exact[qi]}
+        have = {d for d, _ in got[qi]}
+        recalls.append(len(want & have) / args.k)
+    recall = float(np.mean(recalls))
+    print(f"two-phase recall@{args.k} vs exact: {recall:.4f} "
+          f"({args.queries} queries in {search_s:.1f}s)", flush=True)
+
+    entry = {
+        "metric": f"postings_recall@{args.k}_vs_exact_encoder_vectors",
+        "device": str(jax.devices()[0]),
+        "weights": weights_src,
+        "docs": args.docs, "queries": args.queries,
+        "doc_top_k": args.doc_top_k, "query_top_k": args.query_top_k,
+        "mean_doc_nnz": round(mean_nnz, 1),
+        "n_postings": args.n_postings, "rescore_candidates": args.rescore,
+        "truncated_pct": round(100.0 * index.truncated_postings
+                               / max(index.nnz, 1), 2),
+        "recall": round(recall, 4),
+        "build_s": round(build_s, 1),
+        "total_s": round(time.time() - t_all, 1),
+    }
+    out = Path(args.out)
+    data = json.loads(out.read_text()) if out.exists() else {}
+    data[args.key] = entry
+    out.write_text(json.dumps(data, indent=2))
+    print(f"wrote {out} [{args.key}]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -47,6 +47,17 @@ class ModernBertConfig:
     decoder_bias: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
+    #: remat granularity when remat=True:
+    #:   "full"          — recompute the whole layer in backward (max memory
+    #:                     savings, ~10% step cost at B=16);
+    #:   "dots_no_batch" — save dense-projection outputs (no-batch-dim dots)
+    #:                     but recompute attention internals: frees the
+    #:                     f32 [B, N, S, S] score/prob residuals (the HBM
+    #:                     hog — 1.3 GB per saved buffer at doc-batch 64)
+    #:                     at the cost of re-running the cheap S^2 attention
+    #:                     math, the flash-attention tradeoff expressed as
+    #:                     an XLA remat policy.
+    remat_policy: str = "full"
 
     @property
     def head_dim(self) -> int:
@@ -57,7 +68,8 @@ class ModernBertConfig:
 
     @classmethod
     def from_hf_dict(cls, d: Dict[str, Any], **over: Any) -> "ModernBertConfig":
-        keys = {f.name for f in dataclasses.fields(cls)} - {"dtype", "remat"}
+        keys = {f.name for f in dataclasses.fields(cls)} - {
+            "dtype", "remat", "remat_policy"}
         kw = {k: d[k] for k in keys if k in d}
         kw.update(over)
         return cls(**kw)
@@ -208,12 +220,17 @@ class ModernBertForMaskedLM(nn.Module):
                                      dtype=cfg.dtype, name="emb_norm")
         # layer0 (global, no attn_norm) + scanned [local,local,global] blocks
         # + an unrolled tail for layer counts not of the form 1 + 3k.
-        layer0_cls = nn.remat(ModernBertLayer) if cfg.remat else ModernBertLayer
+        remat_kw = {}
+        if cfg.remat and cfg.remat_policy == "dots_no_batch":
+            remat_kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        layer0_cls = (nn.remat(ModernBertLayer, **remat_kw) if cfg.remat
+                      else ModernBertLayer)
         self.layer0 = layer0_cls(cfg, 0, name="layer0")
         n_rest = cfg.num_hidden_layers - 1
         self.num_blocks = n_rest // 3
         if self.num_blocks:
-            block_cls = nn.remat(ModernBertBlock, prevent_cse=False) if cfg.remat else ModernBertBlock
+            block_cls = (nn.remat(ModernBertBlock, prevent_cse=False, **remat_kw)
+                         if cfg.remat else ModernBertBlock)
             self.blocks = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},

@@ -1,6 +1,7 @@
 """Script-tier smoke tests: everything under scripts/ must at least compile;
 the pure-CPU scripts run end to end."""
 
+import json
 import py_compile
 import subprocess
 import sys
@@ -22,6 +23,33 @@ def test_verify_idf_math_runs():
                        cwd=Path(__file__).resolve().parent.parent)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "all IDF math checks passed" in r.stdout
+
+
+def test_parity_rehearsal_tiny(tmp_path):
+    """The artifacts-landed rehearsal runs green end-to-end on fakes
+    (VERDICT r1 item 4): fake HF model + synthetic fixtures -> 3 benchmark
+    runs -> BASELINE comparison table."""
+    from splade_tpu.utils.tokenizer import resolve_tokenizer_path
+
+    if not Path(resolve_tokenizer_path()).exists():
+        pytest.skip("no local tokenizer artifact")
+    import os
+
+    env = dict(os.environ)
+    env.pop("SPLADE_BENCH_DATA", None)  # force synthetic fixtures
+    r = subprocess.run(
+        [sys.executable, "scripts/parity_rehearsal.py", "--tiny",
+         "--workdir", str(tmp_path / "work"), "--out", str(tmp_path / "out"),
+         "--sample-size", "12", "--fixture-docs", "40"],
+        capture_output=True, text=True, env=env, timeout=560,
+        cwd=Path(__file__).resolve().parent.parent)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    report = (tmp_path / "out" / "REPORT.md").read_text()
+    assert "SYNTHETIC WEIGHTS" in report
+    for name in ("ko-strategyqa", "miracl-ko", "mrtydi-ko"):
+        assert f"| {name} | neural_sparse |" in report
+    summary = json.loads((tmp_path / "out" / "summary.json").read_text())
+    assert summary["synthetic_weights"] is True
 
 
 def test_collect_term_data_runs(tmp_path):
