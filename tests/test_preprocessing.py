@@ -183,3 +183,111 @@ class TestPipeline:
         # shards parse as valid triplets
         row = json.loads((out / "train_shard_000.jsonl").read_text().splitlines()[0])
         assert row["query"] and row["positive"]
+
+
+class TestTermPairs:
+    """MUSE/Wikidata/Wikipedia term-pair mining (reference:
+    collect_term_data_v19.py) — parsers, filtering, cache gating."""
+
+    def test_parse_muse_both_directions(self):
+        from splade_tpu.preprocessing.term_pairs import parse_muse_lines
+
+        ko_first = ["서버 server", "검색 search", "bad", "x y"]
+        got = parse_muse_lines(ko_first, "ko")
+        assert {(p["ko"], p["en"]) for p in got} == {("서버", "server"),
+                                                    ("검색", "search")}
+        en_first = ["server 서버", "Search 검색엔진"]
+        got = parse_muse_lines(en_first, "en")
+        assert {(p["ko"], p["en"]) for p in got} == {("서버", "server"),
+                                                    ("검색엔진", "search")}
+        assert all(p["source"] == "muse" for p in got)
+
+    def test_parse_wikidata_bindings(self):
+        from splade_tpu.preprocessing.term_pairs import parse_wikidata_bindings
+
+        payload = {"results": {"bindings": [
+            {"koLabel": {"value": "데이터베이스"},
+             "enLabel": {"value": "Database"}},
+            {"koLabel": {"value": "서버 (컴퓨터)"},
+             "enLabel": {"value": "Server (computing)"}},
+            {"koLabel": {"value": "no korean"},
+             "enLabel": {"value": "nothing"}},
+        ]}}
+        got = parse_wikidata_bindings(payload)
+        assert {(p["ko"], p["en"]) for p in got} == {
+            ("데이터베이스", "database"), ("서버", "server")}
+
+    def test_parse_wikipedia_langlinks(self):
+        from splade_tpu.preprocessing.term_pairs import parse_wikipedia_langlinks
+
+        payload = {"query": {"pages": {
+            "1": {"title": "알고리즘",
+                  "langlinks": [{"lang": "en", "*": "Algorithm"},
+                                {"lang": "ja", "*": "アルゴリズム"}]},
+            "2": {"title": "English title", "langlinks": [
+                {"lang": "en", "*": "Ignored"}]},
+            "3": {"title": "링크없음"},
+        }}}
+        got = parse_wikipedia_langlinks(payload)
+        assert got == [{"ko": "알고리즘", "en": "algorithm",
+                        "source": "wikipedia"}]
+
+    def test_filter_and_dedup_accounting(self):
+        from splade_tpu.preprocessing.term_pairs import filter_and_deduplicate
+
+        pairs = [
+            {"ko": "서버", "en": "server", "source": "a"},
+            {"ko": "서버", "en": "Server", "source": "b"},     # dup (case)
+            {"ko": "짧", "en": "server", "source": "a"},       # ko too short
+            {"ko": "서버", "en": "s", "source": "a"},          # en too short
+            {"ko": "서버" * 20, "en": "server", "source": "a"},  # ko too long
+            {"ko": "abcd", "en": "server", "source": "a"},     # no korean
+            {"ko": "서버", "en": "ABCDEFGH", "source": "a"},   # long all-caps
+            {"ko": "서버", "en": "a-", "source": "a"},         # <2 letters
+        ]
+        unique, rejected = filter_and_deduplicate(pairs)
+        assert len(unique) == 1 and unique[0]["ko"] == "서버"
+        for reason in ("ko_too_short", "en_too_short", "ko_too_long",
+                       "no_korean", "invalid_english", "en_no_letters",
+                       "duplicates"):
+            assert rejected[reason] == 1, reason
+
+    def test_collectors_use_local_cache(self, tmp_path, monkeypatch):
+        import json as _json
+
+        from splade_tpu.preprocessing.term_pairs import (
+            collect_muse, collect_wikidata, collect_wikipedia)
+
+        root = tmp_path / "terms"
+        (root / "muse").mkdir(parents=True)
+        (root / "muse" / "ko-en.txt").write_text("서버 server\n검색 search\n")
+        (root / "muse" / "en-ko.txt").write_text("index 색인\n")
+        (root / "wikidata.json").write_text(_json.dumps(
+            {"results": {"bindings": [
+                {"koLabel": {"value": "암호화"},
+                 "enLabel": {"value": "Encryption"}}]}}))
+        (root / "wikipedia_langlinks.jsonl").write_text(_json.dumps(
+            {"query": {"pages": {"1": {
+                "title": "신경망",
+                "langlinks": [{"lang": "en", "*": "Neural network"}]}}}}))
+        monkeypatch.setenv("SPLADE_TERM_DATA", str(root))
+
+        def no_fetch(*a, **k):
+            raise AssertionError("must not hit the network with a cache")
+
+        assert len(collect_muse(no_fetch)) == 3
+        assert collect_wikidata(no_fetch)[0]["ko"] == "암호화"
+        assert collect_wikipedia(no_fetch)[0]["en"] == "neural network"
+
+    def test_collectors_degrade_offline(self, monkeypatch):
+        from splade_tpu.preprocessing.term_pairs import (
+            collect_muse, collect_wikidata, collect_wikipedia)
+
+        monkeypatch.delenv("SPLADE_TERM_DATA", raising=False)
+
+        def dead_fetch(*a, **k):
+            raise OSError("no route to host")
+
+        assert collect_muse(dead_fetch) == []
+        assert collect_wikidata(dead_fetch) == []
+        assert collect_wikipedia(dead_fetch) == []

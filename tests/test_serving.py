@@ -603,3 +603,84 @@ def test_concurrent_crud_and_search_consistency(engine):
     assert not errors, errors
     # final state consistent: every live doc retrievable by its own text
     assert len(index.doc_ids) == len(set(index.doc_ids))
+
+
+def test_mesh_serving_under_concurrent_load(engine):
+    """VERDICT r1 item 10: the mesh-sharded serving path under load.
+
+    4 searcher threads hammer a MeshShardedPostingsIndex ServingEngine on
+    the 8-virtual-device mesh while a mutator adds documents. The mesh
+    index is rebuild-on-mutate BY DESIGN (adds after build would change
+    shard assignment; supports_delta=False) — the engine must stay
+    consistent through rebuilds: every result resolves, new docs become
+    searchable, throughput is reported."""
+    import threading as _t
+    import time as _time
+
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import MeshShardedPostingsIndex
+    from splade_tpu.parallel.mesh import make_mesh
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = MeshShardedPostingsIndex(
+        VOCAB, make_mesh(), n_postings=64, query_top_t=16, approx=False,
+        rescore_candidates=32)
+    docs = [(f"doc{i}", f"문서 {i} 가나다 {'가나다라마바사'[i % 7]}")
+            for i in range(64)]
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    index.build()
+    e = ServingEngine(model, params, tok, index, query_top_k=16,
+                      query_max_length=16)
+    assert e._postings and e._postings_two_phase
+    assert index.supports_delta is False  # rebuild-on-mutate by design
+
+    errors, counts = [], [0] * 4
+    live_ids = {d for d, _ in docs}
+    lock = _t.Lock()
+
+    def searcher(tid):
+        try:
+            for i in range(15):
+                rows = e.search_batch([f"문서 {i % 9} 가나다", "가나다 검색"], k=5)
+                for row in rows:
+                    assert row, "mesh search returned empty under load"
+                    for d, s in row:
+                        with lock:
+                            assert d in live_ids, f"unresolvable id {d}"
+                        assert s > 0
+                counts[tid] += len(rows)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(repr(exc))
+
+    def mutator():
+        try:
+            for i in range(4):
+                new = [(f"new{i}", f"신규 {i} 가나다")]
+                with lock:
+                    live_ids.update(d for d, _ in new)
+                e.add_documents([(d, t) for d, t in new])
+        except Exception as exc:  # noqa: BLE001
+            errors.append(repr(exc))
+
+    t0 = _time.time()
+    threads = [_t.Thread(target=searcher, args=(t,)) for t in range(4)] + [
+        _t.Thread(target=mutator)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    dt = _time.time() - t0
+    assert not errors, errors
+    total = sum(counts)
+    print(f"mesh serving load: {total} queries in {dt:.1f}s "
+          f"({total/dt:.1f} qps on 8 virtual CPU devices) with 4 rebuilds")
+    # mutations landed: the last added doc is searchable
+    hits = e.search("신규 3 가나다", k=5)
+    assert any(d == "new3" for d, _ in hits)
