@@ -36,6 +36,29 @@ VARIANTS = {
     "no_tw_32x2_dots": (32, 2, "dots", False, 6250),
     "no_tw_48x2_dots": (48, 2, "dots", False, 6250),
     "no_tw_64x1_dots": (64, 1, "dots", False, 6250),
+    # head-tile width (scan trip count 8/4/2 over the 50K vocab)
+    "dots_tile12500": (16, 4, "dots", False, 12500),
+    "dots_tile25000": (16, 4, "dots", False, 25000),
+    # accum 8 at micro 16 = 128 triplets/chip/opt-step — matches the
+    # reference recipe's per-chip effective batch on a v5e-16 slice
+    "dots_16x8": (16, 8, "dots", False, 6250),
+    "dots_12x4": (12, 4, "dots", False, 6250),
+    "dots_8x4": (8, 4, "dots", False, 6250),
+    "dots_10x4": (10, 4, "dots", False, 6250),
+    "dots_14x4": (14, 4, "dots", False, 6250),
+    "dots_8x8": (8, 8, "dots", False, 6250),
+    "dots_12x8": (12, 8, "dots", False, 6250),
+    "nodots_12x4": (12, 4, False, False, 6250),
+    # pallas fused pool under the dots remat (custom-VJP head: residual is
+    # only the [B,V] maxima)
+    "dots_12x4_pallas": (12, 4, "dots", False, "pallas"),
+    "dots_10x8": (10, 8, "dots", False, 6250),
+    "dots_10x16": (10, 16, "dots", False, 6250),
+    "dots_9x8": (9, 8, "dots", False, 6250),
+    "dots_11x8": (11, 8, "dots", False, 6250),
+    "dots_10x8_pallas": (10, 8, "dots", False, "pallas"),
+    "dots_10x6": (10, 6, "dots", False, 6250),
+    "dots_10x8_tile12500": (10, 8, "dots", False, 12500),
 }
 
 
@@ -63,8 +86,12 @@ def run_variant(name, micro_b, accum, remat, token_weights, pool_tile,
     mcfg = ModernBertConfig(
         dtype=jnp.bfloat16, remat=bool(remat),
         remat_policy="dots_no_batch" if remat == "dots" else "full")
-    model = SpladeEncoder(mcfg, pool_impl="streamed", pool_tile=pool_tile,
-                          with_token_weights=token_weights)
+    if pool_tile == "pallas":
+        model = SpladeEncoder(mcfg, pool_impl="pallas",
+                              with_token_weights=token_weights)
+    else:
+        model = SpladeEncoder(mcfg, pool_impl="streamed", pool_tile=pool_tile,
+                              with_token_weights=token_weights)
     ids0 = jnp.zeros((1, 16), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), ids0, jnp.ones_like(ids0))["params"]
     state = create_train_state(params, cfg.training, total_steps=1000)

@@ -24,6 +24,11 @@ class V33ModelConfig:
     """Compute dtype for activations (params are always float32)."""
     remat: bool = True
     """Rematerialize encoder layers (jax.checkpoint) to trade FLOPs for HBM."""
+    remat_policy: str = "dots_no_batch"
+    """'dots_no_batch' (default: save dense-projection outputs, recompute
+    attention internals — frees the f32 [B,N,S,S] residuals and measures
+    FASTER than no-remat on v5e, docs/TRAIN_VARIANTS.json) | 'full'
+    (recompute whole layers — max memory savings)."""
     fused_splade_head: str = "auto"
     """'auto' | 'fused' | 'xla': how to compute the 50K-vocab projection +
     masked max-pool. 'auto' = the XLA-streamed vocab-tile path (never

@@ -56,8 +56,10 @@ class ModernBertConfig:
     #:                     hog — 1.3 GB per saved buffer at doc-batch 64)
     #:                     at the cost of re-running the cheap S^2 attention
     #:                     math, the flash-attention tradeoff expressed as
-    #:                     an XLA remat policy.
-    remat_policy: str = "full"
+    #:                     an XLA remat policy. Default: measured FASTER
+    #:                     than both no-remat and full remat on v5e
+    #:                     (docs/TRAIN_VARIANTS.json).
+    remat_policy: str = "dots_no_batch"
 
     @property
     def head_dim(self) -> int:

@@ -117,6 +117,7 @@ def main(argv: Optional[list] = None) -> int:
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     mconfig = ModernBertConfig(
         vocab_size=len(tokenizer), dtype=dtype, remat=cfg.model.remat,
+        remat_policy=cfg.model.remat_policy,
         pad_token_id=tokenizer.pad_token_id,
     )
     pool_mapping = {"auto": "streamed", "fused": "pallas", "xla": "logits"}
