@@ -45,16 +45,23 @@ def main() -> None:
     n_chips = len(devices)
     mesh = make_mesh(devices=devices)
 
-    B = 16 * n_chips  # per-chip micro-batch 16 x accum 4 (best measured)
-    ACCUM = 4
+    # Per-chip micro-batch 10 x accum 8 with selective attention remat —
+    # the best of the 23-variant grid in docs/TRAIN_VARIANTS.json
+    # (146.0 vs 127.2 triplets/s/chip for the round-1 16x4 no-remat
+    # config; see scripts/bench_train_variants.py).
+    B = 10 * n_chips
+    ACCUM = 8
     cfg = V33Config.from_dict({
         "data": {"batch_size": B // n_chips},
         "training": {"gradient_accumulation_steps": ACCUM},
     })
-    # remat off: B=16 fits HBM without it and saves the recompute pass
-    # (125 vs 114 triplets/s/chip measured).
-    mcfg = ModernBertConfig(dtype=jnp.bfloat16, remat=False)
-    model = SpladeEncoder(mcfg, pool_impl="streamed")
+    # dots_no_batch remat: dense-projection outputs saved, attention
+    # internals recomputed in backward — frees the f32 [B,N,S,S]
+    # residuals and measures FASTER than no-remat on v5e.
+    mcfg = ModernBertConfig(dtype=jnp.bfloat16, remat=True,
+                            remat_policy="dots_no_batch")
+    model = SpladeEncoder(mcfg, pool_impl="streamed",
+                          with_token_weights=False)
     ids0 = jnp.zeros((1, 16), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), ids0, jnp.ones_like(ids0))["params"]
     state = create_train_state(params, cfg.training, total_steps=1000)
