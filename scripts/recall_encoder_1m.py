@@ -68,6 +68,7 @@ def main() -> int:
     p.add_argument("--doc-top-k", type=int, default=64)
     p.add_argument("--query-top-k", type=int, default=33)
     p.add_argument("--doc-len", type=int, default=192)
+    p.add_argument("--query-len", type=int, default=64)
     p.add_argument("--n-postings", type=int, default=128)
     p.add_argument("--rescore", type=int, default=200)
     p.add_argument("--k", type=int, default=10)
@@ -135,7 +136,8 @@ def main() -> int:
 
     t_all = time.time()
     d_idx, d_val = encode_many(args.docs, args.doc_len, args.doc_top_k, "docs")
-    q_idx, q_val = encode_many(args.queries, 64, args.query_top_k, "queries")
+    q_idx, q_val = encode_many(args.queries, args.query_len,
+                               args.query_top_k, "queries")
     # zero-weight activations (possible on short docs) stay but are harmless
     d_val = np.maximum(d_val, 0.0)
     q_val = np.maximum(q_val, 0.0)
