@@ -156,6 +156,77 @@ class PairConverter(BaseConverter):
         return out
 
 
+class TripletDirectConverter(BaseConverter):
+    """Pass-through for sources that already ship retrieval triplets
+    (reference: ko-triplet-v1.0 — query/document/hard_negative,
+    collect_korean_datasets.py:425-455)."""
+
+    task = "triplet"
+
+    def convert(self, samples: List[RawSample]) -> List[Triplet]:
+        out = []
+        for s in samples:
+            f = s.fields
+            t = self._mk(f.get("query"),
+                         f.get("document") or f.get("positive"),
+                         f.get("hard_negative") or f.get("negative"),
+                         "retrieval_triplet", s.source)
+            if t:
+                t.difficulty = "hard"
+                out.append(t)
+        return out
+
+
+class WebPassageConverter(BaseConverter):
+    """Raw web/encyclopedia text -> passage pairs: first short Korean-heavy
+    paragraph as the query side, the next as the positive (reference:
+    mC4-ko / Korean Wikipedia, collect_korean_datasets.py:270-395)."""
+
+    task = "web_passage"
+
+    min_hangul = 50
+    max_query_chars = 200
+
+    def convert(self, samples: List[RawSample]) -> List[Triplet]:
+        import re
+
+        hangul = re.compile(r"[가-힣]")
+        out = []
+        for s in samples:
+            text = s.fields.get("text", "") or ""
+            paras = [p.strip() for p in re.split(r"\n\s*\n|\n", text)
+                     if p.strip()]
+            korean = [p for p in paras
+                      if len(hangul.findall(p)) >= self.min_hangul]
+            if len(korean) < 2 or len(korean[0]) >= self.max_query_chars:
+                continue
+            t = self._mk(korean[0], korean[1], None, "web_passage", s.source)
+            if t:
+                out.append(t)
+        return out
+
+
+class TranslationConverter(BaseConverter):
+    """Parallel KO-EN sentences -> bilingual pairs (reference: opus-100
+    en-ko, collect_korean_datasets.py:400-424): Korean side queries the
+    English side so the model learns the cross-lingual bridge."""
+
+    task = "translation"
+
+    def convert(self, samples: List[RawSample]) -> List[Triplet]:
+        out = []
+        for s in samples:
+            f = s.fields
+            tr = f.get("translation") or f
+            ko, en = tr.get("ko", ""), tr.get("en", "")
+            if not ko or not en:
+                continue
+            t = self._mk(ko, f"{ko} ({en})", None, "translation", s.source)
+            if t:
+                out.append(t)
+        return out
+
+
 CONVERTERS = {
     "nli": NLIConverter,
     "qa": QAConverter,
@@ -163,6 +234,9 @@ CONVERTERS = {
     "classification": ClassificationConverter,
     "dialog": DialogConverter,
     "pair": PairConverter,
+    "triplet": TripletDirectConverter,
+    "web_passage": WebPassageConverter,
+    "translation": TranslationConverter,
 }
 
 

@@ -56,6 +56,24 @@ REGISTRY: Dict[str, DatasetSpec] = {s.key: s for s in [
                 field_map={"instruction": "instruction", "output": "output"}),
     DatasetSpec("personachat", "dialog", "persona_chat_korean", None,
                 field_map={"utterance": "utterance", "response": "response"}),
+    # --- remaining reference sources (collect_korean_datasets.py's 13)
+    DatasetSpec("korquad2", "qa", "squad_kor_v2", None,
+                field_map={"question": "question", "context": "context"}),
+    DatasetSpec("openorca-ko", "dialog", "kyujinpy/OpenOrca-KO", None,
+                field_map={"question": "instruction", "response": "output"}),
+    DatasetSpec("ko-alpaca", "dialog", "Bingsu/ko_alpaca_data", None,
+                field_map={"instruction": "instruction", "output": "output"}),
+    DatasetSpec("ko-wikidata-qa", "dialog", "maywell/ko_wikidata_QA", None,
+                field_map={"instruction": "instruction", "output": "output"}),
+    DatasetSpec("ko-triplet-v1", "triplet", "nlpai-lab/ko-triplet-v1.0", None,
+                field_map={"query": "query", "document": "document",
+                           "hard_negative": "hard_negative"}),
+    DatasetSpec("opus-100-en-ko", "translation", "Helsinki-NLP/opus-100",
+                "en-ko", field_map={"translation": "translation"}),
+    DatasetSpec("mc4-ko", "web_passage", "mc4", "ko",
+                field_map={"text": "text"}),
+    DatasetSpec("wikipedia-ko", "web_passage", "wikimedia/wikipedia",
+                "20231101.ko", field_map={"text": "text"}),
 ]}
 
 _NLI_LABELS = {0: "entailment", 1: "neutral", 2: "contradiction"}

@@ -291,3 +291,67 @@ class TestTermPairs:
         assert collect_muse(dead_fetch) == []
         assert collect_wikidata(dead_fetch) == []
         assert collect_wikipedia(dead_fetch) == []
+
+
+class TestNewConverters:
+    """Reference collect_korean_datasets.py's remaining source types:
+    direct triplets, web passages, translation pairs."""
+
+    def test_triplet_direct(self):
+        from splade_tpu.preprocessing.converters import get_converter
+        from splade_tpu.preprocessing.types import RawSample
+
+        conv = get_converter("triplet")
+        out = conv.convert([
+            RawSample("ko-triplet", "triplet", {
+                "query": "질문", "document": "문서 본문",
+                "hard_negative": "다른 문서"}),
+            RawSample("ko-triplet", "triplet", {"query": "", "document": "x"}),
+        ])
+        assert len(out) == 1
+        t = out[0]
+        assert (t.query, t.positive, t.negative) == ("질문", "문서 본문",
+                                                     "다른 문서")
+        assert t.difficulty == "hard" and t.pair_type == "retrieval_triplet"
+
+    def test_web_passage(self):
+        from splade_tpu.preprocessing.converters import get_converter
+        from splade_tpu.preprocessing.types import RawSample
+
+        conv = get_converter("web_passage")
+        ko_para = "한국어 문장입니다 " * 10  # >=50 hangul chars
+        long_first = ko_para * 3            # over the 200-char query cap
+        out = conv.convert([
+            RawSample("mc4", "web_passage",
+                      {"text": f"{ko_para}\n\n{ko_para} 두번째 문단"}),
+            RawSample("mc4", "web_passage",
+                      {"text": f"{long_first}\n\n{ko_para}"}),  # query too long
+            RawSample("mc4", "web_passage", {"text": "english only\n\nmore"}),
+            RawSample("mc4", "web_passage", {"text": ko_para}),  # 1 para
+        ])
+        assert len(out) == 1
+        assert out[0].pair_type == "web_passage"
+
+    def test_translation(self):
+        from splade_tpu.preprocessing.converters import get_converter
+        from splade_tpu.preprocessing.types import RawSample
+
+        conv = get_converter("translation")
+        out = conv.convert([
+            RawSample("opus", "translation",
+                      {"translation": {"ko": "서버가 죽었다",
+                                       "en": "the server died"}}),
+            RawSample("opus", "translation",
+                      {"translation": {"ko": "", "en": "empty"}}),
+        ])
+        assert len(out) == 1
+        assert out[0].query == "서버가 죽었다"
+        assert "the server died" in out[0].positive
+
+    def test_registry_covers_reference_sources(self):
+        from splade_tpu.preprocessing.downloaders import REGISTRY
+
+        assert {"korquad2", "openorca-ko", "ko-alpaca", "ko-wikidata-qa",
+                "ko-triplet-v1", "opus-100-en-ko", "mc4-ko",
+                "wikipedia-ko"} <= set(REGISTRY)
+        assert len(REGISTRY) >= 13  # the reference's 13-source breadth
