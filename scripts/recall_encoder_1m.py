@@ -69,17 +69,36 @@ def main() -> int:
     p.add_argument("--query-top-k", type=int, default=33)
     p.add_argument("--doc-len", type=int, default=192)
     p.add_argument("--query-len", type=int, default=64)
-    p.add_argument("--n-postings", type=int, default=128)
+    p.add_argument("--n-postings", default="128",
+                   help="comma-separated P values — the encode pass is "
+                        "shared, each P gets its own index build + entry")
     p.add_argument("--rescore", type=int, default=200)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--checkpoint", default="/tmp/vrun/final_model",
                    help="trained checkpoint dir (falls back to random init)")
     p.add_argument("--out", default="docs/POSTINGS_BENCH.json")
     p.add_argument("--key", default="encoder_vectors_1m")
+    p.add_argument("--enc-cache", default="",
+                   help="npz path caching the encoded doc/query CSR so "
+                        "P/C re-runs skip the ~18-min 1M-doc encode pass")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    cache = Path(args.enc_cache) if args.enc_cache else None
+    if cache is not None and cache.exists():
+        z = np.load(cache)
+        d_idx, d_val = z["d_idx"], z["d_val"]
+        q_idx, q_val = z["q_idx"], z["q_val"]
+        weights_src = str(z["weights_src"])
+        V = int(z["vocab_size"])
+        args.docs, args.queries = d_idx.shape[0], q_idx.shape[0]
+        args.doc_top_k, args.query_top_k = d_idx.shape[1], q_idx.shape[1]
+        print(f"loaded encode cache {cache} ({args.docs} docs)", flush=True)
+        run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src,
+                  time.time())
+        return 0
 
     model, params, cfg, weights_src = build_encoder(args.checkpoint)
     V = cfg.vocab_size
@@ -141,6 +160,16 @@ def main() -> int:
     # zero-weight activations (possible on short docs) stay but are harmless
     d_val = np.maximum(d_val, 0.0)
     q_val = np.maximum(q_val, 0.0)
+    if cache is not None:
+        np.savez_compressed(cache, d_idx=d_idx, d_val=d_val, q_idx=q_idx,
+                            q_val=q_val, weights_src=weights_src,
+                            vocab_size=V)
+        print(f"wrote encode cache {cache}", flush=True)
+    run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all)
+    return 0
+
+
+def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
     mean_nnz = float((d_val > 0).sum(axis=1).mean())
     print(f"mean doc nnz (of top-{args.doc_top_k}): {mean_nnz:.1f}", flush=True)
 
@@ -162,50 +191,57 @@ def main() -> int:
     exact = np.take_along_axis(part, order, axis=0).T  # [Q, k]
     print(f"exact reference in {time.time()-t0:.0f}s", flush=True)
 
-    # ---- postings index (two-phase)
+    # ---- postings index (two-phase), one build per P over the shared encode
+    import jax
+
     from splade_tpu.ops.postings_index import TpuPostingsIndex
 
-    t0 = time.time()
-    index = TpuPostingsIndex(
-        V, n_postings=args.n_postings, query_top_t=args.query_top_k,
-        rescore_candidates=args.rescore, scoring="sort")
-    index.add_csr([str(i) for i in range(args.docs)], d_idx, d_val)
-    index.build()
-    build_s = time.time() - t0
-    print(f"postings build in {build_s:.0f}s "
-          f"(truncated {index.truncated_postings} postings)", flush=True)
-
-    t0 = time.time()
-    got = index.search_topk(q_idx, q_val, k=args.k)
-    search_s = time.time() - t0
-    recalls = []
-    for qi in range(args.queries):
-        want = {str(d) for d in exact[qi]}
-        have = {d for d, _ in got[qi]}
-        recalls.append(len(want & have) / args.k)
-    recall = float(np.mean(recalls))
-    print(f"two-phase recall@{args.k} vs exact: {recall:.4f} "
-          f"({args.queries} queries in {search_s:.1f}s)", flush=True)
-
-    entry = {
-        "metric": f"postings_recall@{args.k}_vs_exact_encoder_vectors",
-        "device": str(jax.devices()[0]),
-        "weights": weights_src,
-        "docs": args.docs, "queries": args.queries,
-        "doc_top_k": args.doc_top_k, "query_top_k": args.query_top_k,
-        "mean_doc_nnz": round(mean_nnz, 1),
-        "n_postings": args.n_postings, "rescore_candidates": args.rescore,
-        "truncated_pct": round(100.0 * index.truncated_postings
-                               / max(index.nnz, 1), 2),
-        "recall": round(recall, 4),
-        "build_s": round(build_s, 1),
-        "total_s": round(time.time() - t_all, 1),
-    }
     out = Path(args.out)
     data = json.loads(out.read_text()) if out.exists() else {}
-    data[args.key] = entry
-    out.write_text(json.dumps(data, indent=2))
-    print(f"wrote {out} [{args.key}]")
+    for pi, P in enumerate(int(x) for x in str(args.n_postings).split(",")):
+        t0 = time.time()
+        # scoring="auto": sort only in the small-pool regime (T*P<=4096);
+        # at P=512 the [B,T*P] bitonic sort does not finish (see
+        # _sort_crossover_note) and auto falls back to scatter phase 1
+        index = TpuPostingsIndex(
+            V, n_postings=P, query_top_t=args.query_top_k,
+            rescore_candidates=args.rescore, scoring="auto")
+        index.add_csr([str(i) for i in range(args.docs)], d_idx, d_val)
+        index.build()
+        build_s = time.time() - t0
+        print(f"P={P}: build {build_s:.0f}s "
+              f"(truncated {index.truncated_postings})", flush=True)
+
+        t0 = time.time()
+        got = index.search_topk(q_idx, q_val, k=args.k)
+        search_s = time.time() - t0
+        recalls = []
+        for qi in range(args.queries):
+            want = {str(d) for d in exact[qi]}
+            have = {d for d, _ in got[qi]}
+            recalls.append(len(want & have) / args.k)
+        recall = float(np.mean(recalls))
+        print(f"P={P}: two-phase recall@{args.k} vs exact: {recall:.4f} "
+              f"({args.queries} queries in {search_s:.1f}s)", flush=True)
+
+        entry = {
+            "metric": f"postings_recall@{args.k}_vs_exact_encoder_vectors",
+            "device": str(jax.devices()[0]),
+            "weights": weights_src,
+            "docs": args.docs, "queries": args.queries,
+            "doc_top_k": args.doc_top_k, "query_top_k": args.query_top_k,
+            "mean_doc_nnz": round(mean_nnz, 1),
+            "n_postings": P, "rescore_candidates": args.rescore,
+            "truncated_pct": round(100.0 * index.truncated_postings
+                                   / max(index.nnz, 1), 2),
+            "recall": round(recall, 4),
+            "build_s": round(build_s, 1),
+            "total_s": round(time.time() - t_all, 1),
+        }
+        key = args.key if pi == 0 else f"{args.key}_p{P}"
+        data[key] = entry
+        out.write_text(json.dumps(data, indent=2))
+        print(f"wrote {out} [{key}]")
     return 0
 
 
