@@ -198,7 +198,8 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
 
     out = Path(args.out)
     data = json.loads(out.read_text()) if out.exists() else {}
-    for pi, P in enumerate(int(x) for x in str(args.n_postings).split(",")):
+    p_values = [int(x) for x in str(args.n_postings).split(",")]
+    for P in p_values:
         t0 = time.time()
         # scoring="auto": sort only in the small-pool regime (T*P<=4096);
         # at P=512 the [B,T*P] bitonic sort does not finish (see
@@ -238,7 +239,7 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
             "build_s": round(build_s, 1),
             "total_s": round(time.time() - t_all, 1),
         }
-        key = args.key if pi == 0 else f"{args.key}_p{P}"
+        key = args.key if len(p_values) == 1 else f"{args.key}_p{P}"
         data[key] = entry
         out.write_text(json.dumps(data, indent=2))
         print(f"wrote {out} [{key}]")
