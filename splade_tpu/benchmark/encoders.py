@@ -129,6 +129,8 @@ class SparseEncoderV33:
         Top-k selection happens ON DEVICE; only [B, k] pairs transfer."""
         import jax.numpy as jnp
 
+        if not self.query_top_k:  # 0 = keep the full query vector
+            return self._encode_texts(texts, self.query_max_length, 0)
         out: List[SparseVec] = []
         B, k = self.batch_size, self.query_top_k
         for i in range(0, len(texts), B):

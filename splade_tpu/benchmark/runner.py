@@ -232,6 +232,10 @@ def main(argv: Optional[list] = None) -> int:
                         "kiwipiepy/mecab-ko (nori parity), "
                         "'korean-heuristic' is the offline josa-stripping "
                         "stand-in (see scripts/analyzer_sensitivity.py)")
+    p.add_argument("--query-top-k", type=int, default=64,
+                   help="strongest query terms kept (reference: "
+                        "searchers.py:161-170 builds top-64 rank_feature "
+                        "clauses); 0 = full query vector")
     p.add_argument("--encodings", default=None,
                    help="npz path: reuse if it exists, else save after encoding")
     p.add_argument("--dense-checkpoint", default=None,
@@ -281,7 +285,8 @@ def main(argv: Optional[list] = None) -> int:
     if args.checkpoint and not args.no_sparse:
         from splade_tpu.benchmark.encoders import SparseEncoderV33
 
-        sparse_encoder = SparseEncoderV33.from_any(args.checkpoint, tokenizer)
+        sparse_encoder = SparseEncoderV33.from_any(
+            args.checkpoint, tokenizer, query_top_k=args.query_top_k)
 
     dense_encoder = None
     if args.dense_checkpoint:

@@ -382,6 +382,53 @@ def test_end_to_end_trained_tiny_model_beats_random(tmp_path):
     assert summary["neural_sparse"]["recall@1"] >= 0.75
 
 
+def test_query_top_k_zero_keeps_full_vector():
+    """--query-top-k 0 must disable the reference's top-64 truncation:
+    encode_queries returns every positive dimension (needed when a model's
+    query nnz exceeds 64, e.g. early-training checkpoints)."""
+    import jax
+    import jax.numpy as jnp
+
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.models.modernbert import ModernBertConfig
+    from splade_tpu.models.splade import SpladeEncoder
+    from test_data import FakeTokenizer
+
+    class FakeTok(FakeTokenizer):
+        all_special_ids = [0, 511]
+
+        def __len__(self):
+            return 512
+
+        def get_vocab(self):
+            return {}
+
+        def __call__(self, texts, padding=None, truncation=None,
+                     max_length=16, return_tensors=None, add_special_tokens=True):
+            return super().__call__(texts, padding, truncation, max_length,
+                                    return_tensors)
+
+    mcfg = ModernBertConfig.tiny(num_hidden_layers=2)
+    model = SpladeEncoder(mcfg, pool_impl="streamed", pool_tile=128)
+    tok = FakeTok()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    texts = ["alpha beta gamma", "delta epsilon"]
+    full = SparseEncoderV33(model, params, tok, query_max_length=12,
+                            batch_size=4, query_top_k=0, filter_special=False)
+    trunc = SparseEncoderV33(model, params, tok, query_max_length=12,
+                             batch_size=4, query_top_k=3, filter_special=False)
+    fv = full.encode_queries(texts)
+    tv = trunc.encode_queries(texts)
+    for (f_idx, f_val), (t_idx, t_val) in zip(fv, tv):
+        assert len(t_idx) <= 3
+        assert len(f_idx) >= len(t_idx)
+        # the truncated vector is a subset of the full one
+        fmap = dict(zip(f_idx.tolist(), f_val.tolist()))
+        for i, v in zip(t_idx.tolist(), t_val.tolist()):
+            assert abs(fmap[i] - v) < 1e-5
+
+
 def test_encoding_cache_roundtrip(tmp_path):
     data = synthetic_benchmark()
     runner = BenchmarkRunner(data, sparse_encoder=ToySparse(),
