@@ -45,11 +45,13 @@ def main() -> None:
     n_chips = len(devices)
     mesh = make_mesh(devices=devices)
 
-    # Per-chip micro-batch 10 x accum 8 with selective attention remat —
-    # the best of the 23-variant grid in docs/TRAIN_VARIANTS.json
-    # (146.0 vs 127.2 triplets/s/chip for the round-1 16x4 no-remat
-    # config; see scripts/bench_train_variants.py).
-    B = 10 * n_chips
+    # Per-chip micro-batch 8 x accum 8, selective attention remat, packed
+    # query tower (4 seq-64 queries per doc-shaped row so queries + docs run
+    # as ONE uniform [R,256] forward) — the best of the 29-variant grid in
+    # docs/TRAIN_VARIANTS.json (148.7 vs 146.0 unpacked-10x8 vs 127.2 for
+    # the round-1 16x4 no-remat config; scripts/bench_train_variants.py).
+    # micro-batch 8 packs with zero wasted query slots (8 % 4 == 0).
+    B = 8 * n_chips
     ACCUM = 8
     cfg = V33Config.from_dict({
         "data": {"batch_size": B // n_chips},

@@ -59,11 +59,20 @@ VARIANTS = {
     "dots_10x8_pallas": (10, 8, "dots", False, "pallas"),
     "dots_10x6": (10, 6, "dots", False, 6250),
     "dots_10x8_tile12500": (10, 8, "dots", False, 12500),
+    # packed query tower (model.packed_query_tower): 4 seq-64 queries per
+    # doc-shaped row, queries+docs in ONE forward. micro_b % 4 == 0 packs
+    # with zero wasted segments.
+    "pack_8x8": (8, 8, "dots", False, 6250, True),
+    "pack_12x4": (12, 4, "dots", False, 6250, True),
+    "pack_12x8": (12, 8, "dots", False, 6250, True),
+    "pack_16x4": (16, 4, "dots", False, 6250, True),
+    "pack_10x8": (10, 8, "dots", False, 6250, True),
+    "pack_16x8": (16, 8, "dots", False, 6250, True),
 }
 
 
 def run_variant(name, micro_b, accum, remat, token_weights, pool_tile,
-                steps=8):
+                packed=False, steps=8):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -82,6 +91,7 @@ def run_variant(name, micro_b, accum, remat, token_weights, pool_tile,
     cfg = V33Config.from_dict({
         "data": {"batch_size": micro_b},
         "training": {"gradient_accumulation_steps": accum},
+        "model": {"packed_query_tower": packed},
     })
     mcfg = ModernBertConfig(
         dtype=jnp.bfloat16, remat=bool(remat),
@@ -140,7 +150,8 @@ def run_variant(name, micro_b, accum, remat, token_weights, pool_tile,
             "step_ms": round(dt / steps * 1000, 1),
             "compile_s": round(compile_s, 1),
             "micro_batch": micro_b, "accum": accum, "remat": remat,
-            "with_token_weights": token_weights, "pool_tile": pool_tile}
+            "with_token_weights": token_weights, "pool_tile": pool_tile,
+            "packed_query": packed}
 
 
 def main() -> int:

@@ -35,6 +35,13 @@ class V33ModelConfig:
     materializes the [B, S, V] logits tensor; measured equal to the hand
     Pallas kernel on v5e — docs/ARCHITECTURE.md §1); 'fused' = the Pallas
     kernel; 'xla' = the naive reference-shaped path for parity testing."""
+    packed_query_tower: bool = True
+    """Pack doc_len//query_len queries per doc-shaped row (segment-masked
+    attention, per-segment RoPE) and run queries + docs as ONE backbone
+    forward per micro-batch — the seq-64 query tower alone underutilizes the
+    MXU (docs/STEP_BREAKDOWN.json). Same math as the unpacked path
+    (tests/test_packed_query.py); auto-falls back when doc_max_length is not
+    a multiple of query_max_length."""
 
 
 @dataclass

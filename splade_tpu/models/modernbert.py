@@ -100,12 +100,17 @@ def rope_cos_sin(
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x: [B, S, N, D]; cos/sin: [S, D]. HF rotate_half convention."""
+    """x: [B, S, N, D]; cos/sin: [S, D] (shared) or [B, S, D] (per-row
+    positions — the packed-sequence path). HF rotate_half convention."""
     d2 = x.shape[-1] // 2
     x1, x2 = x[..., :d2], x[..., d2:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
+    if cos.ndim == 2:
+        c = cos[None, :, None, :]
+        s = sin[None, :, None, :]
+    else:
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
     return x * c + rotated * s
 
 
@@ -254,17 +259,42 @@ class ModernBertForMaskedLM(nn.Module):
             self.decoder_bias = self.param(
                 "decoder_bias", nn.initializers.zeros, (cfg.vocab_size,), jnp.float32)
 
-    def encode(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
-        """Backbone: [B, S] ids -> [B, S, H] final-normed hidden states."""
+    def encode(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        positions: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Backbone: [B, S] ids -> [B, S, H] final-normed hidden states.
+
+        positions / segment_ids enable *sequence packing* (several logical
+        sequences per row — e.g. four seq-64 queries in one seq-256 row so
+        the query tower runs at doc-tower MXU efficiency; see
+        SpladeEncoder.forward_packed_qd):
+        - positions [B, S] int32: per-token RoPE position (None = arange(S)).
+        - segment_ids [B, S] int32: tokens may only attend within their own
+          segment (None = one segment per row). The sliding-window bias uses
+          absolute row offsets, which equal within-segment offsets because
+          segments are contiguous.
+        """
         cfg = self.config
         S = input_ids.shape[1]
         x = self.emb_norm(self.tok_embeddings(input_ids))
-        # Additive padding mask [B, 1, 1, S]: -inf at padded keys.
-        pad_bias = jnp.where(attention_mask[:, None, None, :].astype(bool),
-                             0.0, MASK_NEG).astype(jnp.float32)
+        if segment_ids is None:
+            # Additive padding mask [B, 1, 1, S]: -inf at padded keys.
+            pad_bias = jnp.where(attention_mask[:, None, None, :].astype(bool),
+                                 0.0, MASK_NEG).astype(jnp.float32)
+        else:
+            same_seg = segment_ids[:, :, None] == segment_ids[:, None, :]
+            key_ok = attention_mask[:, None, :].astype(bool) & same_seg
+            pad_bias = jnp.where(key_ok[:, None], 0.0, MASK_NEG).astype(jnp.float32)
         local_bias = pad_bias + sliding_window_bias(S, cfg.local_attention // 2)[None, None]
         g_cos, g_sin = rope_cos_sin(S, cfg.head_dim, cfg.global_rope_theta, cfg.dtype)
         l_cos, l_sin = rope_cos_sin(S, cfg.head_dim, cfg.local_rope_theta, cfg.dtype)
+        if positions is not None:
+            g_cos, g_sin = g_cos[positions], g_sin[positions]
+            l_cos, l_sin = l_cos[positions], l_sin[positions]
         x = self.layer0(x, pad_bias, g_cos, g_sin)
         if self.num_blocks:
             x, _ = self.blocks(x, (pad_bias, local_bias, g_cos, g_sin, l_cos, l_sin))

@@ -339,6 +339,22 @@ class MLMTrainer:
         if cfg.max_steps:
             self.total_steps = min(self.total_steps, cfg.max_steps)
 
+        # No-remat activation memory grows as L*B*S*H; at 22L/768H the
+        # measured compile-time requirement is ~28 GB for B=32,S=512 (OOM on
+        # a 16 GB v5e) vs ~7 GB for B=32,S=128 (fits). Warn before the user
+        # pays a multi-minute compile that is guaranteed to fail.
+        if not cfg.remat:
+            mc = model.config if hasattr(model, "config") else None
+            L = getattr(mc, "num_hidden_layers", 22)
+            H = getattr(mc, "hidden_size", 768)
+            est_gb = (L * cfg.batch_size * cfg.max_length * H * 96) / 2**30
+            if est_gb > 14.0:
+                logger.warning(
+                    "estimated no-remat activation footprint ~%.0f GB exceeds "
+                    "a 16 GB v5e chip (B=%d, S=%d, L=%d): set MLM_REMAT=1 or "
+                    "reduce batch/max_length", est_gb, cfg.batch_size,
+                    cfg.max_length, L)
+
         tcfg = _as_training_cfg(cfg)
         tx, _ = create_optimizer(tcfg, self.total_steps)
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,

@@ -62,17 +62,27 @@ def stack_microbatches(micro_batches: List[Dict[str, Any]]) -> Dict[str, np.ndar
     return out
 
 
-def make_loss_fn(model, loss_cfg, num_blocks: int):
+def make_loss_fn(model, loss_cfg, num_blocks: int, packed_query: bool = False):
     def loss_fn(params, micro: Dict[str, jnp.ndarray], step: jnp.ndarray):
-        B = micro["query_input_ids"].shape[0]
-        q_repr, _ = model.apply({"params": params},
-                                micro["query_input_ids"],
-                                micro["query_attention_mask"])
+        B, Sq = micro["query_input_ids"].shape
         doc_ids = jnp.concatenate(
             [micro["positive_input_ids"], micro["negative_input_ids"]])
         doc_mask = jnp.concatenate(
             [micro["positive_attention_mask"], micro["negative_attention_mask"]])
-        doc_repr, _ = model.apply({"params": params}, doc_ids, doc_mask)
+        Sd = doc_ids.shape[1]
+        if packed_query and Sd % Sq == 0 and Sd > Sq:
+            # One uniform [R, Sd] forward: docs + sequence-packed queries
+            # (see SpladeEncoder.forward_packed_qd). Shapes are static, so
+            # this branch resolves at trace time.
+            (q_repr, _), (doc_repr, _) = model.apply(
+                {"params": params},
+                micro["query_input_ids"], micro["query_attention_mask"],
+                doc_ids, doc_mask, method="forward_packed_qd")
+        else:
+            q_repr, _ = model.apply({"params": params},
+                                    micro["query_input_ids"],
+                                    micro["query_attention_mask"])
+            doc_repr, _ = model.apply({"params": params}, doc_ids, doc_mask)
         p_repr = doc_repr[:B]
         n_repr = doc_repr[B:].reshape(B, -1, doc_repr.shape[-1])
         loss, metrics = v33_loss(
@@ -103,7 +113,8 @@ def make_train_step(model, cfg: V33Config, mesh: Mesh, tx):
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
     accum = cfg.training.gradient_accumulation_steps
-    loss_fn = make_loss_fn(model, cfg.loss, num_blocks=n_dev)
+    loss_fn = make_loss_fn(model, cfg.loss, num_blocks=n_dev,
+                           packed_query=cfg.model.packed_query_tower)
 
     def device_step(params, opt_state, step, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -2,6 +2,7 @@
 exact indexes, searchers, and an end-to-end runner on synthetic data."""
 
 import json
+import zlib
 
 import numpy as np
 import pytest
@@ -211,7 +212,9 @@ class ToySparse:
     def _vec(self, text):
         v = np.zeros(self.V, np.float32)
         for w in text.split():
-            v[hash(w) % self.V] += 1.0
+            # stable hash: builtin hash() is salted per process, which makes
+            # word collisions (and recall asserts) PYTHONHASHSEED-flaky
+            v[zlib.crc32(w.encode()) % self.V] += 1.0
         nz = np.flatnonzero(v)
         return nz.astype(np.int32), v[nz]
 
