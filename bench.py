@@ -45,14 +45,16 @@ def main() -> None:
     n_chips = len(devices)
     mesh = make_mesh(devices=devices)
 
-    # Per-chip micro-batch 8 x accum 8, selective attention remat, packed
+    # Per-chip micro-batch 8 x accum 16, selective attention remat, packed
     # query tower (4 seq-64 queries per doc-shaped row so queries + docs run
-    # as ONE uniform [R,256] forward) — the best of the 29-variant grid in
-    # docs/TRAIN_VARIANTS.json (148.7 vs 146.0 unpacked-10x8 vs 127.2 for
+    # as ONE uniform [R,256] forward) — the best of the 43-variant grid in
+    # docs/TRAIN_VARIANTS.json (151.6 vs 146.0 unpacked-10x8 vs 127.2 for
     # the round-1 16x4 no-remat config; scripts/bench_train_variants.py).
-    # micro-batch 8 packs with zero wasted query slots (8 % 4 == 0).
+    # micro-batch 8 packs with zero wasted query slots (8 % 4 == 0), and
+    # 8 x 16 = 128 triplets/chip/opt-step = the published recipe's per-chip
+    # effective batch on a v5e-16 slice (2048 / 16).
     B = 8 * n_chips
-    ACCUM = 8
+    ACCUM = 16
     cfg = V33Config.from_dict({
         "data": {"batch_size": B // n_chips},
         "training": {"gradient_accumulation_steps": ACCUM},

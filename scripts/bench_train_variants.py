@@ -68,11 +68,27 @@ VARIANTS = {
     "pack_16x4": (16, 4, "dots", False, 6250, True),
     "pack_10x8": (10, 8, "dots", False, 6250, True),
     "pack_16x8": (16, 8, "dots", False, 6250, True),
+    # round-2 follow-up sweep around the pack_8x8 winner
+    "pack_8x12": (8, 12, "dots", False, 6250, True),
+    "pack_8x16": (8, 16, "dots", False, 6250, True),
+    "pack_4x16": (4, 16, "dots", False, 6250, True),
+    "pack_4x8": (4, 8, "dots", False, 6250, True),
+    "pack_8x8_tile12500": (8, 8, "dots", False, 12500, True),
+    "pack_8x8_pallas": (8, 8, "dots", False, "pallas", True),
+    "pack_8x8_nodots": (8, 8, False, False, 6250, True),
+    "pack_8x8_fullremat": (8, 8, "full", False, 6250, True),
+    # splash attention (Pallas flash-style kernel: no [B,N,S,S] in HBM)
+    "splash_8x8": (8, 8, "dots", False, 6250, True, "splash"),
+    "splash_8x16": (8, 16, "dots", False, 6250, True, "splash"),
+    "splash_12x8": (12, 8, "dots", False, 6250, True, "splash"),
+    "splash_16x8": (16, 8, "dots", False, 6250, True, "splash"),
+    "splash_8x16_nodots": (8, 16, False, False, 6250, True, "splash"),
+    "splash_16x8_nodots": (16, 8, False, False, 6250, True, "splash"),
 }
 
 
 def run_variant(name, micro_b, accum, remat, token_weights, pool_tile,
-                packed=False, steps=8):
+                packed=False, attention_impl="sdpa", steps=8):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -95,7 +111,8 @@ def run_variant(name, micro_b, accum, remat, token_weights, pool_tile,
     })
     mcfg = ModernBertConfig(
         dtype=jnp.bfloat16, remat=bool(remat),
-        remat_policy="dots_no_batch" if remat == "dots" else "full")
+        remat_policy="dots_no_batch" if remat == "dots" else "full",
+        attention_impl=attention_impl)
     if pool_tile == "pallas":
         model = SpladeEncoder(mcfg, pool_impl="pallas",
                               with_token_weights=token_weights)
@@ -151,7 +168,7 @@ def run_variant(name, micro_b, accum, remat, token_weights, pool_tile,
             "compile_s": round(compile_s, 1),
             "micro_batch": micro_b, "accum": accum, "remat": remat,
             "with_token_weights": token_weights, "pool_tile": pool_tile,
-            "packed_query": packed}
+            "packed_query": packed, "attention_impl": attention_impl}
 
 
 def main() -> int:

@@ -35,6 +35,12 @@ class V33ModelConfig:
     materializes the [B, S, V] logits tensor; measured equal to the hand
     Pallas kernel on v5e — docs/ARCHITECTURE.md §1); 'fused' = the Pallas
     kernel; 'xla' = the naive reference-shaped path for parity testing."""
+    attention_impl: str = "sdpa"
+    """'sdpa' | 'splash': 'splash' uses the Pallas splash-attention kernel
+    (flash-style, block-sparse sliding window + segment ids — never
+    materializes [B, N, S, S] in HBM). TPU-only; silently falls back to
+    sdpa off-TPU or when seq % 128 != 0. Same math as sdpa up to bf16
+    rounding (docs/SPLASH_PARITY.json)."""
     packed_query_tower: bool = True
     """Pack doc_len//query_len queries per doc-shaped row (segment-masked
     attention, per-segment RoPE) and run queries + docs as ONE backbone

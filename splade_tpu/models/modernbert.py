@@ -60,6 +60,16 @@ class ModernBertConfig:
     #:                     than both no-remat and full remat on v5e
     #:                     (docs/TRAIN_VARIANTS.json).
     remat_policy: str = "dots_no_batch"
+    #: attention math:
+    #:   "sdpa"   — batched einsum + additive-mask softmax (default; runs
+    #:              everywhere, used by all parity tests);
+    #:   "splash" — Pallas splash-attention kernel (block-local mask +
+    #:              segment ids, flash-style: never materializes the
+    #:              f32 [B, N, S, S] score/prob tensors in HBM). TPU-only;
+    #:              automatically falls back to sdpa when S % 128 != 0 or
+    #:              the backend is not a TPU. Numerics vs sdpa are bf16
+    #:              rounding only (tests/test_splash_attention.py).
+    attention_impl: str = "sdpa"
 
     @property
     def head_dim(self) -> int:
@@ -71,7 +81,7 @@ class ModernBertConfig:
     @classmethod
     def from_hf_dict(cls, d: Dict[str, Any], **over: Any) -> "ModernBertConfig":
         keys = {f.name for f in dataclasses.fields(cls)} - {
-            "dtype", "remat", "remat_policy"}
+            "dtype", "remat", "remat_policy", "attention_impl"}
         kw = {k: d[k] for k in keys if k in d}
         kw.update(over)
         return cls(**kw)
@@ -127,13 +137,54 @@ def sliding_window_bias(seq_len: int, half_window: int) -> jnp.ndarray:
     return jnp.where(dist <= half_window, 0.0, MASK_NEG).astype(jnp.float32)
 
 
+def _splash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      seg: jnp.ndarray, half_window: int) -> jnp.ndarray:
+    """Flash-style attention via the Pallas splash kernel.
+
+    q/k/v: [B, N, S, D] (RoPE already applied); seg: [B, S] int32 segment
+    ids — tokens attend only within their own segment (padding must carry
+    ids that never match real tokens). half_window > 0 applies the
+    ModernBERT sliding-window mask block-sparsely; 0 = full attention.
+    Never materializes [B, N, S, S] in HBM (fwd or bwd: the kernel carries
+    its own flash-style VJP). Returns [B, S, N, D] in q.dtype.
+    """
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as _sk,
+        splash_attention_mask as _sm,
+    )
+
+    B, n, S, d = q.shape
+    if half_window > 0:
+        m = _sm.LocalMask((S, S), (half_window, half_window), 0)
+    else:
+        m = _sm.FullMask((S, S))
+    blk = 256 if S % 256 == 0 else 128
+    bs = _sk.BlockSizes(
+        block_q=blk, block_kv=blk, block_kv_compute=blk,
+        block_q_dkv=blk, block_kv_dkv=blk, block_kv_dkv_compute=blk,
+        block_q_dq=blk, block_kv_dq=blk)
+    kernel = _sk.make_splash_mha(
+        _sm.MultiHeadMask([m] * n), head_shards=1, q_seq_shards=1,
+        block_sizes=bs)
+    scale = 1.0 / (float(d) ** 0.5)
+
+    def per_row(q_, k_, v_, s_):
+        return kernel(q_ * scale, k_, v_,
+                      segment_ids=_sk.SegmentIds(s_, s_))
+
+    out = jax.vmap(per_row)(q, k, v, seg)  # [B, N, S, D] f32
+    return out.astype(q.dtype).transpose(0, 2, 1, 3)
+
+
 class ModernBertAttention(nn.Module):
     config: ModernBertConfig
     layer_id: int
+    local: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn_bias: jnp.ndarray,
-                 cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray],
+                 cos: jnp.ndarray, sin: jnp.ndarray,
+                 seg: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.config
         B, S, H = x.shape
         n, d = cfg.num_attention_heads, cfg.head_dim
@@ -142,6 +193,13 @@ class ModernBertAttention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if seg is not None:
+            # Splash path: seg carries padding + packing; attn_bias unused.
+            half_w = cfg.local_attention // 2 if self.local else 0
+            out = _splash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), seg, half_w).reshape(B, S, H)
+            return nn.Dense(H, use_bias=False, dtype=cfg.dtype, name="Wo")(out)
         # [B, N, S, S] logits in f32 for a stable softmax.
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k).astype(jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(d))
@@ -169,10 +227,12 @@ class ModernBertMLP(nn.Module):
 class ModernBertLayer(nn.Module):
     config: ModernBertConfig
     layer_id: int
+    local: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn_bias: jnp.ndarray,
-                 cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray],
+                 cos: jnp.ndarray, sin: jnp.ndarray,
+                 seg: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.config
         if self.layer_id == 0:
             # Layer 0 has no attention pre-norm (embedding norm covers it).
@@ -180,8 +240,8 @@ class ModernBertLayer(nn.Module):
         else:
             normed = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_fast_variance=False,
                                   dtype=cfg.dtype, name="attn_norm")(x)
-        x = x + ModernBertAttention(cfg, self.layer_id, name="attn")(
-            normed, attn_bias, cos, sin)
+        x = x + ModernBertAttention(cfg, self.layer_id, self.local, name="attn")(
+            normed, attn_bias, cos, sin, seg)
         mlp_in = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_fast_variance=False,
                               dtype=cfg.dtype, name="mlp_norm")(x)
         return x + ModernBertMLP(cfg, name="mlp")(mlp_in)
@@ -200,12 +260,12 @@ class ModernBertBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, biases) -> tuple[jnp.ndarray, None]:
-        pad_bias, local_bias, g_cos, g_sin, l_cos, l_sin = biases
+        pad_bias, local_bias, g_cos, g_sin, l_cos, l_sin, seg = biases
         cfg = self.config
         # layer_id=1 stands for "any non-first layer" (has attn_norm).
-        x = ModernBertLayer(cfg, 1, name="local_a")(x, local_bias, l_cos, l_sin)
-        x = ModernBertLayer(cfg, 1, name="local_b")(x, local_bias, l_cos, l_sin)
-        x = ModernBertLayer(cfg, 1, name="global_c")(x, pad_bias, g_cos, g_sin)
+        x = ModernBertLayer(cfg, 1, True, name="local_a")(x, local_bias, l_cos, l_sin, seg)
+        x = ModernBertLayer(cfg, 1, True, name="local_b")(x, local_bias, l_cos, l_sin, seg)
+        x = ModernBertLayer(cfg, 1, False, name="global_c")(x, pad_bias, g_cos, g_sin, seg)
         return x, None
 
 
@@ -246,7 +306,7 @@ class ModernBertForMaskedLM(nn.Module):
                 length=self.num_blocks,
             )(cfg, name="blocks")
         self.tail = [
-            layer0_cls(cfg, i, name=f"tail_{i}")
+            layer0_cls(cfg, i, not cfg.is_global_layer(i), name=f"tail_{i}")
             for i in range(1 + 3 * self.num_blocks, cfg.num_hidden_layers)
         ]
         self.final_norm = nn.LayerNorm(epsilon=cfg.norm_eps, use_bias=False, use_fast_variance=False,
@@ -281,29 +341,43 @@ class ModernBertForMaskedLM(nn.Module):
         cfg = self.config
         S = input_ids.shape[1]
         x = self.emb_norm(self.tok_embeddings(input_ids))
-        if segment_ids is None:
-            # Additive padding mask [B, 1, 1, S]: -inf at padded keys.
-            pad_bias = jnp.where(attention_mask[:, None, None, :].astype(bool),
-                                 0.0, MASK_NEG).astype(jnp.float32)
+        use_splash = (cfg.attention_impl == "splash" and S % 128 == 0
+                      and jax.default_backend() == "tpu")
+        if use_splash:
+            # Padding + packing both ride the splash kernel's segment ids:
+            # padded tokens get ids offset past any packing segment so they
+            # never match a real token (they still match each other, which
+            # keeps their softmax rows finite; pooling discards them).
+            base = (segment_ids if segment_ids is not None
+                    else jnp.zeros_like(input_ids))
+            seg = jnp.where(attention_mask.astype(bool), base,
+                            base + jnp.int32(1_000_000))
+            pad_bias = local_bias = None
         else:
-            same_seg = segment_ids[:, :, None] == segment_ids[:, None, :]
-            key_ok = attention_mask[:, None, :].astype(bool) & same_seg
-            pad_bias = jnp.where(key_ok[:, None], 0.0, MASK_NEG).astype(jnp.float32)
-        local_bias = pad_bias + sliding_window_bias(S, cfg.local_attention // 2)[None, None]
+            seg = None
+            if segment_ids is None:
+                # Additive padding mask [B, 1, 1, S]: -inf at padded keys.
+                pad_bias = jnp.where(attention_mask[:, None, None, :].astype(bool),
+                                     0.0, MASK_NEG).astype(jnp.float32)
+            else:
+                same_seg = segment_ids[:, :, None] == segment_ids[:, None, :]
+                key_ok = attention_mask[:, None, :].astype(bool) & same_seg
+                pad_bias = jnp.where(key_ok[:, None], 0.0, MASK_NEG).astype(jnp.float32)
+            local_bias = pad_bias + sliding_window_bias(S, cfg.local_attention // 2)[None, None]
         g_cos, g_sin = rope_cos_sin(S, cfg.head_dim, cfg.global_rope_theta, cfg.dtype)
         l_cos, l_sin = rope_cos_sin(S, cfg.head_dim, cfg.local_rope_theta, cfg.dtype)
         if positions is not None:
             g_cos, g_sin = g_cos[positions], g_sin[positions]
             l_cos, l_sin = l_cos[positions], l_sin[positions]
-        x = self.layer0(x, pad_bias, g_cos, g_sin)
+        x = self.layer0(x, pad_bias, g_cos, g_sin, seg)
         if self.num_blocks:
-            x, _ = self.blocks(x, (pad_bias, local_bias, g_cos, g_sin, l_cos, l_sin))
+            x, _ = self.blocks(x, (pad_bias, local_bias, g_cos, g_sin, l_cos, l_sin, seg))
         for i, layer in zip(range(1 + 3 * self.num_blocks, cfg.num_hidden_layers),
                             self.tail):
             if cfg.is_global_layer(i):
-                x = layer(x, pad_bias, g_cos, g_sin)
+                x = layer(x, pad_bias, g_cos, g_sin, seg)
             else:
-                x = layer(x, local_bias, l_cos, l_sin)
+                x = layer(x, local_bias, l_cos, l_sin, seg)
         return self.final_norm(x)
 
     def head_transform(self, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -118,6 +118,7 @@ def main(argv: Optional[list] = None) -> int:
     mconfig = ModernBertConfig(
         vocab_size=len(tokenizer), dtype=dtype, remat=cfg.model.remat,
         remat_policy=cfg.model.remat_policy,
+        attention_impl=cfg.model.attention_impl,
         pad_token_id=tokenizer.pad_token_id,
     )
     pool_mapping = {"auto": "streamed", "fused": "pallas", "xla": "logits"}

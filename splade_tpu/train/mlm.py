@@ -66,6 +66,9 @@ class MLMConfig:
     """Held-out packed rows for masked-LM eval (fixed mask RNG)."""
     remat: bool = False
     dtype: str = "bfloat16"
+    attention_impl: str = "sdpa"
+    """'sdpa' | 'splash' (Pallas flash-style kernel; TPU-only, falls back
+    to sdpa off-TPU or when max_length % 128 != 0)."""
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -561,6 +564,7 @@ def main(argv: Optional[list] = None) -> int:
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     mconfig = ModernBertConfig(vocab_size=len(tokenizer), dtype=dtype,
                                remat=cfg.remat,
+                               attention_impl=cfg.attention_impl,
                                pad_token_id=tokenizer.pad_token_id)
     model = ModernBertForMaskedLM(mconfig)
     sample = jnp.zeros((1, cfg.max_length), jnp.int32)
