@@ -443,16 +443,21 @@ class MLMTrainer:
         from splade_tpu.train.checkpoint import save_checkpoint
 
         last_epoch = self.start_epoch
+        # Host-side step mirror (same fix as trainer.py train_epoch):
+        # reading the device step array every iteration blocks the host on
+        # each step's completion, serializing the next batch's H2D +
+        # dispatch behind compute. The step increments exactly once per
+        # call, so mirror it on host and touch device data only on
+        # log/eval/save steps.
+        gstep = int(self.state.step)
         for epoch in range(self.start_epoch, cfg.epochs + 1):
             # Exact mid-epoch resume: batch order is a pure function of
             # (seed, epoch) and masking RNG is step-folded, so skipping the
             # consumed steps reproduces the uninterrupted run bitwise.
-            done_in_epoch = (int(self.state.step)
-                             - (epoch - 1) * self.steps_per_epoch)
+            done_in_epoch = gstep - (epoch - 1) * self.steps_per_epoch
             for i, batch in enumerate(self._epoch_batches(epoch)):
                 if i < done_in_epoch:
                     continue
-                gstep = int(self.state.step)
                 if self._preempted or (cfg.max_steps and gstep >= cfg.max_steps):
                     break
                 device_batch = ({"input_ids": jax.device_put(
@@ -463,7 +468,7 @@ class MLMTrainer:
                     self.state.step, device_batch)
                 self.state = self.state.replace(
                     params=params, opt_state=opt, step=step)
-                gstep = int(step)
+                gstep += 1
                 if gstep % cfg.logging_steps == 0 or gstep == 1:
                     host = {k: float(v) for k, v in metrics.items()}
                     if not np.isfinite(host["loss"]):
@@ -489,8 +494,7 @@ class MLMTrainer:
                                     epoch=epoch,
                                     best=self.tracker.best_value)
             last_epoch = epoch
-            if self._preempted or (
-                    cfg.max_steps and int(self.state.step) >= cfg.max_steps):
+            if self._preempted or (cfg.max_steps and gstep >= cfg.max_steps):
                 break
         save_checkpoint(self.cfg.output_dir, self.state, self.cfg,
                         epoch=last_epoch, best=self.tracker.best_value)
