@@ -145,8 +145,11 @@ def test_packed_step_on_8_device_mesh_matches_unpacked():
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
 
 
-def test_trainer_packed_loss_matches_unpacked():
-    """The full V33 loss through make_loss_fn is packing-invariant."""
+@pytest.mark.parametrize("k", [1, 3])  # single and multi-negative [B,k,V]
+def test_trainer_packed_loss_matches_unpacked(k):
+    """The full V33 loss through make_loss_fn is packing-invariant,
+    including the multi-negative flatten (negatives are doc-shaped rows
+    appended to the same packed stream)."""
     from splade_tpu.config.v33 import V33Config
     from splade_tpu.train.trainer import make_loss_fn
 
@@ -155,7 +158,7 @@ def test_trainer_packed_loss_matches_unpacked():
     B = 6
     q_ids, q_mask = _toks(rng, B, 8, cfg.vocab_size, cfg.pad_token_id)
     p_ids, p_mask = _toks(rng, B, 32, cfg.vocab_size, cfg.pad_token_id)
-    n_ids, n_mask = _toks(rng, B, 32, cfg.vocab_size, cfg.pad_token_id)
+    n_ids, n_mask = _toks(rng, B * k, 32, cfg.vocab_size, cfg.pad_token_id)
     micro = {
         "query_input_ids": q_ids, "query_attention_mask": q_mask,
         "positive_input_ids": p_ids, "positive_attention_mask": p_mask,
