@@ -114,6 +114,13 @@ class V33TrainingConfig:
     eval_every_n_epochs: int = 5
     max_steps: int = 0
     """0 = no cap; >0 caps total optimizer steps (debug/smoke runs)."""
+    watchdog_timeout_s: float = 0.0
+    """>0 arms a hang watchdog: if no training step COMPLETES within this
+    many seconds (a wedged device transport blocks forever with no
+    exception or signal), the process exits hard with code 17 so the
+    restart supervisor (scripts/train_with_restart.sh) relaunches with
+    --resume from the latest checkpoint. Size it above the first-step
+    compile time plus the longest eval/checkpoint pause (e.g. 1800)."""
 
 
 @dataclass

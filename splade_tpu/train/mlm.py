@@ -69,6 +69,9 @@ class MLMConfig:
     attention_impl: str = "sdpa"
     """'sdpa' | 'splash' (Pallas flash-style kernel; TPU-only, falls back
     to sdpa off-TPU or when max_length % 128 != 0)."""
+    watchdog_timeout_s: float = 0.0
+    """>0 arms the wedged-transport hang watchdog (see
+    V33TrainingConfig.watchdog_timeout_s)."""
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -441,6 +444,11 @@ class MLMTrainer:
         run_start_step = int(self.state.step)  # exclude pre-resume steps
         tokens_per_step = self.global_batch * self.accum * cfg.max_length
         from splade_tpu.train.checkpoint import save_checkpoint
+        from splade_tpu.train.preemption import HangWatchdog
+
+        # Same wedged-transport watchdog as the V33 trainer (see
+        # trainer.py train / preemption.HangWatchdog).
+        self._watchdog = HangWatchdog(cfg.watchdog_timeout_s, name="mlm")
 
         last_epoch = self.start_epoch
         # Host-side step mirror (same fix as trainer.py train_epoch):
@@ -471,6 +479,7 @@ class MLMTrainer:
                 gstep += 1
                 if gstep % cfg.logging_steps == 0 or gstep == 1:
                     host = {k: float(v) for k, v in metrics.items()}
+                    self._watchdog.beat()  # float() proved a completed step
                     if not np.isfinite(host["loss"]):
                         raise FloatingPointError(
                             f"non-finite MLM loss at step {gstep}")
@@ -489,13 +498,16 @@ class MLMTrainer:
                     if scores:
                         self.writer.scalars(scores, gstep, prefix="eval/")
                         logger.info("eval @ step %d: %s", gstep, scores)
+                    self._watchdog.beat()  # eval is a legit long pause
                 if cfg.save_steps and gstep % cfg.save_steps == 0:
                     save_checkpoint(cfg.output_dir, self.state, self.cfg,
                                     epoch=epoch,
                                     best=self.tracker.best_value)
+                    self._watchdog.beat()  # so is a checkpoint write
             last_epoch = epoch
             if self._preempted or (cfg.max_steps and gstep >= cfg.max_steps):
                 break
+        self._watchdog.stop()
         save_checkpoint(self.cfg.output_dir, self.state, self.cfg,
                         epoch=last_epoch, best=self.tracker.best_value)
         self.tracker.summary()

@@ -300,6 +300,11 @@ class Trainer:
             gstep += 1
             if gstep % cfg.log_every_n_steps == 0 or gstep == 1:
                 host = {k: float(v) for k, v in metrics.items()}
+                # float() above blocked until this step actually finished
+                # on device — completed compute, the watchdog's heartbeat.
+                wd = getattr(self, "_watchdog", None)
+                if wd is not None:
+                    wd.beat()
                 if not np.isfinite(host["loss"]):
                     raise FloatingPointError(
                         f"non-finite loss at step {gstep}: {host} — "
@@ -337,27 +342,37 @@ class Trainer:
         self.writer.hparams(flat)
         from splade_tpu.train.checkpoint import (
             save_checkpoint, wait_for_pending_saves)
+        from splade_tpu.train.preemption import HangWatchdog
 
-        for epoch in range(self.start_epoch, cfg.num_epochs + 1):
-            t0 = time.time()
-            self.train_epoch(epoch)
-            logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
-            if self._preempted:
-                save_checkpoint(self.output_dir, self.state, self.cfg,
-                                epoch=epoch, best=self.tracker.best_value)
-                logger.warning("preemption checkpoint written; exiting")
-                break
-            if (self.evaluator is not None
-                    and epoch % self.cfg.training.eval_every_n_epochs == 0):
-                scores = self.evaluator.evaluate(self.model, self.state.params)
-                self.writer.scalars(scores, int(self.state.step), prefix="eval/")
-                logger.info("eval @ epoch %d: %s", epoch, scores)
-            if epoch % cfg.save_every_n_epochs == 0 or epoch == cfg.num_epochs:
-                save_checkpoint(self.output_dir, self.state, self.cfg,
-                                epoch=epoch, best=self.tracker.best_value,
-                                async_write=epoch != cfg.num_epochs)
-            if cfg.max_steps and int(self.state.step) >= cfg.max_steps:
-                break
+        # Hang watchdog: trips (hard exit for the restart supervisor) when
+        # no step COMPLETES within the window — catches a wedged device
+        # transport that no exception or signal ever reports.
+        self._watchdog = HangWatchdog(cfg.watchdog_timeout_s)
+        try:
+            for epoch in range(self.start_epoch, cfg.num_epochs + 1):
+                t0 = time.time()
+                self.train_epoch(epoch)
+                logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+                if self._preempted:
+                    save_checkpoint(self.output_dir, self.state, self.cfg,
+                                    epoch=epoch, best=self.tracker.best_value)
+                    logger.warning("preemption checkpoint written; exiting")
+                    break
+                if (self.evaluator is not None
+                        and epoch % self.cfg.training.eval_every_n_epochs == 0):
+                    scores = self.evaluator.evaluate(self.model, self.state.params)
+                    self.writer.scalars(scores, int(self.state.step), prefix="eval/")
+                    logger.info("eval @ epoch %d: %s", epoch, scores)
+                self._watchdog.beat()  # eval/epoch boundaries are legit pauses
+                if epoch % cfg.save_every_n_epochs == 0 or epoch == cfg.num_epochs:
+                    save_checkpoint(self.output_dir, self.state, self.cfg,
+                                    epoch=epoch, best=self.tracker.best_value,
+                                    async_write=epoch != cfg.num_epochs)
+                    self._watchdog.beat()
+                if cfg.max_steps and int(self.state.step) >= cfg.max_steps:
+                    break
+        finally:
+            self._watchdog.stop()
         wait_for_pending_saves()
         self.tracker.summary()
         self.writer.close()
