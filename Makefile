@@ -69,6 +69,15 @@ bench:
 bench-qps:
 	$(PYTHON) scripts/bench_qps.py
 
+bench-train-variants:  # train-step throughput grid (VARIANTS=a,b to subset)
+	$(PYTHON) scripts/bench_train_variants.py $(if $(VARIANTS),--only $(VARIANTS),)
+
+bench-mlm-variants:  # MLM-step throughput grid
+	$(PYTHON) scripts/bench_mlm_variants.py $(if $(VARIANTS),--only $(VARIANTS),)
+
+splash-parity:  # splash-vs-sdpa numerics at full flagship size (TPU)
+	$(PYTHON) scripts/verify_splash_parity.py
+
 # ------------------------------------------------------------------ offline tier
 preprocess:
 	$(PYTHON) scripts/collect_korean_datasets.py --output-dir data/v29.0
