@@ -55,7 +55,11 @@ _KOREAN_SUFFIXES = tuple(sorted((
 
 
 def _is_hangul(ch: str) -> bool:
-    return "가" <= ch <= "힣" or "ᄀ" <= ch <= "ᇿ"
+    # analyzer wants the wide set: precomposed syllables AND conjoining
+    # Jamo (stems of decomposed forms)
+    from splade_tpu.utils.text import is_hangul_char
+
+    return is_hangul_char(ch, include_jamo=True)
 
 
 def korean_heuristic_analyzer(text: str) -> List[str]:

@@ -120,7 +120,9 @@ class V33TrainingConfig:
     exception or signal), the process exits hard with code 17 so the
     restart supervisor (scripts/train_with_restart.sh) relaunches with
     --resume from the latest checkpoint. Size it above the first-step
-    compile time plus the longest eval/checkpoint pause (e.g. 1800)."""
+    compile time plus the longest eval/checkpoint pause (e.g. 1800);
+    log_every_n_steps does NOT constrain it — the loop forces one
+    completed-step heartbeat per half-window even between log steps."""
 
 
 @dataclass

@@ -95,6 +95,16 @@ class TpuImpactIndex:
 
     def add_batch(self, doc_ids: Sequence[str],
                   vecs: Sequence[Tuple[np.ndarray, np.ndarray]]) -> None:
+        # validate the cap up front: raising from add() mid-batch would
+        # leave a partially-ingested index
+        if (self.max_docs
+                and len(self.doc_ids) + len(doc_ids) > self.max_docs):
+            raise ValueError(
+                f"add_batch of {len(doc_ids)} docs would exceed the "
+                f"{self.max_docs}-doc cap ({len(self.doc_ids)} present); "
+                "nothing was added. Use TpuPostingsIndex for large corpora "
+                "or construct with a higher max_docs if the HBM allows "
+                f"(~{self.vocab_size * 2 // 1024} KB/doc).")
         for did, (idx, val) in zip(doc_ids, vecs):
             self.add(did, idx, val)
 

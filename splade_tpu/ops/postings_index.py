@@ -618,14 +618,10 @@ class TpuPostingsIndex:
         # k is a STATIC arg of the jitted search: quantize to a tier so a
         # changing tombstone count doesn't recompile per delete (the serving
         # engine does the same via _quantize_k).
-        k_base = k + len(self._tombstones)
-        for tier in self._K_TIERS:
-            if k_base <= tier:
-                k_base = tier
-                break
-        else:  # beyond the tier table: round up to the next multiple of 1000
-            k_base = -(-k_base // 1000) * 1000
-        k_base = min(k_base, self._base_n)
+        from splade_tpu.utils.text import quantize_to_tier
+
+        k_base = quantize_to_tier(k + len(self._tombstones), self._K_TIERS,
+                                  cap=self._base_n)
         vals, idxs = self._search_jit(
             jnp.asarray(q_indices), jnp.asarray(q_values), k_base)
         vals = np.asarray(vals)[:B]
@@ -689,7 +685,21 @@ class TpuPostingsIndex:
     def load(cls, path: str, **overrides) -> "TpuPostingsIndex":
         """Restore a saved corpus and build the device structures. Saved
         config (vocab/cap/top-T/rescore) applies unless overridden."""
-        with np.load(path, allow_pickle=False) as z:
+        try:
+            z_ctx = np.load(path, allow_pickle=False)
+        except ValueError as e:
+            if "pickle" in str(e).lower():
+                # Archives written before doc_ids moved to fixed-width
+                # unicode stored an object array; loading those would need
+                # allow_pickle=True, which executes arbitrary payloads from
+                # an untrusted file — refuse with a migration path instead.
+                raise ValueError(
+                    f"{path} is a legacy index cache (pickled doc_ids). "
+                    "Rebuild it once with the current code: load the corpus "
+                    "source and call save(), or re-run the indexer; new "
+                    "caches load with allow_pickle=False.") from e
+            raise
+        with z_ctx as z:
             vocab, P, top_t, C = (int(x) for x in z["config"])
             kw = dict(n_postings=P, query_top_t=top_t, rescore_candidates=C)
             kw.update(overrides)

@@ -190,14 +190,15 @@ class WebPassageConverter(BaseConverter):
     def convert(self, samples: List[RawSample]) -> List[Triplet]:
         import re
 
-        hangul = re.compile(r"[가-힣]")
+        from splade_tpu.utils.text import hangul_count
+
         out = []
         for s in samples:
             text = s.fields.get("text", "") or ""
             paras = [p.strip() for p in re.split(r"\n\s*\n|\n", text)
                      if p.strip()]
             korean = [p for p in paras
-                      if len(hangul.findall(p)) >= self.min_hangul]
+                      if hangul_count(p) >= self.min_hangul]
             if len(korean) < 2 or len(korean[0]) >= self.max_query_chars:
                 continue
             t = self._mk(korean[0], korean[1], None, "web_passage", s.source)

@@ -36,7 +36,9 @@ WIKIPEDIA_API_URL = "https://ko.wikipedia.org/w/api.php"
 
 # ------------------------------------------------------------- validation
 def is_korean(text: str) -> bool:
-    return any("가" <= c <= "힣" for c in text)
+    from splade_tpu.utils.text import contains_hangul
+
+    return contains_hangul(text)
 
 
 def is_valid_english(text: str) -> bool:
@@ -126,13 +128,20 @@ def collect_muse(fetch: Optional[Callable] = None) -> List[Pair]:
     hook/network is available."""
     root = _term_data_root()
     pairs: List[Pair] = []
-    if root and (root / "muse").exists():
-        for fp in sorted((root / "muse").glob("*.txt")):
+    if root:
+        # preferred layout: $SPLADE_TERM_DATA/muse/*.txt; also honor
+        # dictionaries dropped at the root (the pre-muse/ layout) so
+        # existing hosts keep working without a re-layout
+        dirs = [d for d in (root / "muse", root) if d.exists()]
+        files = sorted({fp for d in dirs for fp in d.glob("*.txt")})
+        for fp in files:
             src = "en" if fp.name.startswith("en-") else "ko"
             pairs.extend(parse_muse_lines(
                 fp.read_text(encoding="utf-8").splitlines(), src))
-        logger.info("MUSE (local cache): %d pairs", len(pairs))
-        return pairs
+        if files:
+            logger.info("MUSE (local cache, %d files): %d pairs",
+                        len(files), len(pairs))
+            return pairs
     fetch = fetch or _default_fetch
     for url, src in MUSE_URLS:
         try:

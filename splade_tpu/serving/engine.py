@@ -254,11 +254,10 @@ class ServingEngine:
     def _quantize_k(self, k: int) -> int:
         """top_k's k is a static jit arg: each distinct value compiles a new
         executable, so round up to a fixed tier and slice host-side."""
+        from splade_tpu.utils.text import quantize_to_tier
+
         k = min(max(k, 1), self.max_k, len(self.index))
-        for tier in self.k_tiers:
-            if k <= tier:
-                return min(tier, len(self.index))
-        return k
+        return quantize_to_tier(k, self.k_tiers, cap=len(self.index))
 
     def search_batch(
         self, queries: Sequence[str], k: int = 10
@@ -298,6 +297,15 @@ class ServingEngine:
         # device top-k; without slack they shrink results below k). Tier
         # quantization bounds the shape set.
         deleted = getattr(self.index, "deleted_count", 0)
+        if self._postings and deleted and k + deleted > self.max_k:
+            # The over-fetch clamp (max_k) cannot cover the tombstones for
+            # THIS k — in the worst case every tombstoned doc outranks the
+            # k-th live hit and the query returns fewer than k results. The
+            # amortized delete_cap above keeps this rare; when it does
+            # happen, pay one synchronous compaction for a hard guarantee.
+            self.index.compact()
+            self._build_postings_fused()
+            deleted = 0
         k_eff = self._quantize_k(min(k + deleted, self.max_k))
         if self._postings and self._postings_two_phase:
             # two-phase can return at most C candidates

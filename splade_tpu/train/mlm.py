@@ -450,7 +450,7 @@ class MLMTrainer:
         # trainer.py train / preemption.HangWatchdog).
         self._watchdog = HangWatchdog(cfg.watchdog_timeout_s, name="mlm")
 
-        last_epoch = self.start_epoch
+        self._last_epoch = self.start_epoch
         # Host-side step mirror (same fix as trainer.py train_epoch):
         # reading the device step array every iteration blocks the host on
         # each step's completion, serializing the next batch's H2D +
@@ -458,6 +458,26 @@ class MLMTrainer:
         # call, so mirror it on host and touch device data only on
         # log/eval/save steps.
         gstep = int(self.state.step)
+        try:
+            self._train_epochs(cfg, gstep, tokens_per_step, run_start_step,
+                               t0, save_checkpoint)
+        finally:
+            # An exception (non-finite loss, failed eval/save) must not
+            # leave the armed watchdog alive: a caller that catches the
+            # error would later be os._exit(17)'d by the stale thread, and
+            # exit 17 tells the restart supervisor to resume a run that
+            # deliberately aborted.
+            self._watchdog.stop()
+        save_checkpoint(self.cfg.output_dir, self.state, self.cfg,
+                        epoch=self._last_epoch, best=self.tracker.best_value)
+        self.tracker.summary()
+        self.writer.close()
+        return self.state
+
+    def _train_epochs(self, cfg, gstep, tokens_per_step, run_start_step,
+                      t0, save_checkpoint) -> None:
+        import jax
+
         for epoch in range(self.start_epoch, cfg.epochs + 1):
             # Exact mid-epoch resume: batch order is a pure function of
             # (seed, epoch) and masking RNG is step-folded, so skipping the
@@ -477,6 +497,11 @@ class MLMTrainer:
                 self.state = self.state.replace(
                     params=params, opt_state=opt, step=step)
                 gstep += 1
+                if self._watchdog.beat_due():
+                    # one completed-step proof per half-window regardless
+                    # of logging_steps (see trainer.py)
+                    float(metrics["loss"])
+                    self._watchdog.beat()
                 if gstep % cfg.logging_steps == 0 or gstep == 1:
                     host = {k: float(v) for k, v in metrics.items()}
                     self._watchdog.beat()  # float() proved a completed step
@@ -504,15 +529,9 @@ class MLMTrainer:
                                     epoch=epoch,
                                     best=self.tracker.best_value)
                     self._watchdog.beat()  # so is a checkpoint write
-            last_epoch = epoch
+            self._last_epoch = epoch
             if self._preempted or (cfg.max_steps and gstep >= cfg.max_steps):
                 break
-        self._watchdog.stop()
-        save_checkpoint(self.cfg.output_dir, self.state, self.cfg,
-                        epoch=last_epoch, best=self.tracker.best_value)
-        self.tracker.summary()
-        self.writer.close()
-        return self.state
 
 
 def _as_training_cfg(cfg: MLMConfig):

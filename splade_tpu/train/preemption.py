@@ -87,5 +87,19 @@ class HangWatchdog:
 
         self._last = _time.monotonic()
 
+    def beat_due(self) -> bool:
+        """True once half the window has elapsed since the last beat.
+
+        Training loops beat where metrics resolve (log steps); with a long
+        logging interval those beats could legally arrive further apart
+        than the timeout. Loops use this to force one cheap host sync per
+        half-window so a HEALTHY run can never out-wait the watchdog,
+        regardless of log_every_n_steps.
+        """
+        import time as _time
+
+        return (self.timeout_s > 0
+                and _time.monotonic() - self._last > self.timeout_s / 2.0)
+
     def stop(self) -> None:
         self._stop.set()

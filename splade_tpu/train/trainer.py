@@ -298,11 +298,16 @@ class Trainer:
                 params=params, opt_state=opt_state, step=step)
             samples += self.global_batch * self.accum
             gstep += 1
+            wd = getattr(self, "_watchdog", None)
+            if wd is not None and wd.beat_due():
+                # Force one completed-step proof per half-window so a long
+                # log_every_n_steps can never out-wait the watchdog.
+                float(metrics["loss"])
+                wd.beat()
             if gstep % cfg.log_every_n_steps == 0 or gstep == 1:
                 host = {k: float(v) for k, v in metrics.items()}
                 # float() above blocked until this step actually finished
                 # on device — completed compute, the watchdog's heartbeat.
-                wd = getattr(self, "_watchdog", None)
                 if wd is not None:
                     wd.beat()
                 if not np.isfinite(host["loss"]):
