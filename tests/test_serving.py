@@ -552,6 +552,41 @@ def test_deletes_do_not_shrink_results_below_k(engine):
     assert not {full[0][0], full[1][0]} & {d for d, _ in after}
 
 
+def test_delete_guarantee_at_k_equal_max_k(engine):
+    """Hard guarantee past the over-fetch clamp: when k + tombstones
+    exceeds max_k the engine compacts synchronously, so even k == max_k
+    with many uncompacted deletes (all ranked above the survivors) still
+    returns k live results."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuPostingsIndex(VOCAB, n_postings=64, query_top_t=16,
+                             approx=False)
+    docs = [(f"doc{i}", f"문서 {i} 가나다") for i in range(24)]
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    # max_k=8; compaction thresholds set high so ONLY the synchronous
+    # k+deleted>max_k guard can save the query
+    e = ServingEngine(model, params, tok, index, query_top_k=16,
+                      query_max_length=16, max_k=8,
+                      delta_compact_threshold=1000)
+    q = "문서 가나다"
+    top = e.search(q, k=8)
+    assert len(top) == 8
+    e.delete_documents([d for d, _ in top[:6]])  # k=8 + 6 tombstones > max_k
+    after = e.search(q, k=8)
+    assert len(after) == 8
+    assert not {d for d, _ in top[:6]} & {d for d, _ in after}
+    assert index.deleted_count == 0  # the guard compacted synchronously
+
+
 def test_concurrent_crud_and_search_consistency(engine):
     """Hammer add/delete/search from threads: no crashes, no desync (every
     returned doc_id resolves, results stay well-formed)."""
