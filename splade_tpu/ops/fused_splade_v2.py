@@ -125,6 +125,13 @@ def _specs(RB, S, H, tile_v, order):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_splade_pool_v2(h, w, bias, mask, tile_v: int = 512, row_block: int = 0):
+    if row_block and h.shape[0] % row_block:
+        # grid floor-divides B // row_block: a non-dividing row_block would
+        # silently leave the tail rows uncomputed (garbage output, dropped
+        # gradients) — refuse instead
+        raise ValueError(
+            f"row_block={row_block} must divide batch {h.shape[0]} "
+            "(or pass 0 to pick a dividing block automatically)")
     out, _ = _fwd(h, w, bias, mask, tile_v, row_block)
     return out
 

@@ -427,7 +427,10 @@ class TpuPostingsIndex:
 
     def compact(self) -> None:
         """Fold the delta segment into the main postings structure and
-        physically drop tombstoned documents."""
+        physically drop tombstoned documents. Compacting away EVERY
+        document leaves a consistent empty index (searches return no
+        results; the next add/build repopulates) rather than raising —
+        build()'s 'empty index' error is for never-populated indexes."""
         if self._tombstones:
             keep = [i for i in range(len(self.doc_ids))
                     if i not in self._tombstones]
@@ -437,6 +440,13 @@ class TpuPostingsIndex:
             self.nnz = int(sum(len(x) for x in self._doc_idx))
             self._tombstones = set()
             self._id_pos = None
+        if not self.doc_ids:
+            self._built = None
+            self._doc_major = None
+            self._base_n = 0
+            self._delta_cache = None
+            self._search_jit = None
+            return
         self.build()
 
     def score_delta(self, q_indices: np.ndarray,
@@ -595,6 +605,15 @@ class TpuPostingsIndex:
         weight 0). T is truncated/padded to ``query_top_t``."""
         import jax.numpy as jnp
 
+        if not self.doc_ids:
+            # compacted-to-empty (every doc deleted): no results, no error
+            return [[] for _ in range(len(np.asarray(q_indices)))]
+        if (self.rescore_candidates and self._tombstones
+                and k + len(self._tombstones) > self.rescore_candidates):
+            # two-phase clamps the fetch at the candidate pool C, so the
+            # tombstone over-fetch cannot cover this many deletes — compact
+            # (drops tombstones + rebuilds) for a hard k-results guarantee
+            self.compact()
         if self._built is None:
             self.build()
         k = min(k, len(self.doc_ids))

@@ -18,10 +18,6 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def _bucket_batch(n: int, pad: int) -> int:
     """Power-of-two bucketing above ``pad``: each distinct padded shape costs
     a fused-jit compile (~12 s on the remote backend), so the shape set must
@@ -103,18 +99,23 @@ def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
         def fused2(p, post_docs, post_w, term_scale, d_terms, d_vals,
                    d_scale, ids, mask, k):
             q_val, q_idx = encode_query(p, ids, mask)
-            return postings_two_phase_topk(
+            vals, idxs = postings_two_phase_topk(
                 post_docs, post_w, term_scale, d_terms, d_vals, d_scale,
                 q_idx, q_val, k, n_docs, vocab_size, n_candidates, approx,
                 phase1_dtype=acc_dtype, scoring=scoring)
+            # query vectors ride along so the LSM-delta merge can score the
+            # delta segment without a second full encode
+            return vals, idxs, q_val, q_idx
 
         return fused2
 
     def fused(p, post_docs, post_w, term_scale, ids, mask, k):
         q_val, q_idx = encode_query(p, ids, mask)
-        return postings_score_topk(post_docs, post_w, term_scale, q_idx,
-                                   q_val, k, n_docs, approx,
-                                   acc_dtype=acc_dtype, scoring=scoring)
+        vals, idxs = postings_score_topk(post_docs, post_w, term_scale,
+                                         q_idx, q_val, k, n_docs, approx,
+                                         acc_dtype=acc_dtype,
+                                         scoring=scoring)
+        return vals, idxs, q_val, q_idx
 
     return fused
 
@@ -271,6 +272,10 @@ class ServingEngine:
     ) -> List[List[Tuple[str, float]]]:
         import jax.numpy as jnp
 
+        if len(self.index) == 0:
+            # empty (or compacted-to-empty) corpus: no results, no error —
+            # and no fused build attempt, which requires >= 1 document
+            return [[] for _ in queries]
         if self._postings:
             if self.index._built is None:
                 self._build_postings_fused()
@@ -289,28 +294,58 @@ class ServingEngine:
                         > self.delta_compact_threshold
                         or self.index.deleted_count > delete_cap):
                     self.index.compact()
-                    self._build_postings_fused()
+                    if len(self.index):
+                        self._build_postings_fused()
             elif len(self.index) != self._postings_n:
                 self._build_postings_fused()  # non-delta index mutated
-        k = min(max(k, 1), self.max_k, len(self.index))
+        if len(self.index) == 0:
+            # every document deleted/compacted away: no results, no error
+            return [[] for _ in queries]
         # over-fetch by the tombstone count (deletes are filtered AFTER the
         # device top-k; without slack they shrink results below k). Tier
         # quantization bounds the shape set.
         deleted = getattr(self.index, "deleted_count", 0)
-        if self._postings and deleted and k + deleted > self.max_k:
-            # The over-fetch clamp (max_k) cannot cover the tombstones for
-            # THIS k — in the worst case every tombstoned doc outranks the
-            # k-th live hit and the query returns fewer than k results. The
+        live = len(self.index) - deleted
+        if live <= 0:
+            return [[] for _ in queries]
+        # clamp k to the LIVE doc count: asking for more than live results
+        # is unsatisfiable, and counting the impossible tail as shortfall
+        # would trigger needless synchronous compactions below
+        k = min(max(k, 1), self.max_k, live)
+        # Fetch ceiling of the CURRENT fused executable: its top_k width is
+        # the BASE segment size (delta docs are scored host-side, so
+        # len(index) overstates it), further clamped to the candidate pool
+        # in two-phase mode.
+        fetch_cap = self.max_k
+        if self._postings:
+            fetch_cap = min(fetch_cap, self._postings_n)
+            if self._postings_two_phase:
+                fetch_cap = min(fetch_cap, self._postings_C)
+        if self._postings and deleted and k + deleted > fetch_cap:
+            # The over-fetch ceiling cannot cover the tombstones for THIS
+            # k — in the worst case every tombstoned doc outranks the k-th
+            # live hit and the query returns fewer than k results. The
             # amortized delete_cap above keeps this rare; when it does
             # happen, pay one synchronous compaction for a hard guarantee.
             self.index.compact()
             self._build_postings_fused()
             deleted = 0
-        k_eff = self._quantize_k(min(k + deleted, self.max_k))
-        if self._postings and self._postings_two_phase:
-            # two-phase can return at most C candidates
-            k_eff = min(k_eff, self._postings_C)
-            k = min(k, k_eff)
+            fetch_cap = min(self.max_k, self._postings_n)
+            if self._postings_two_phase:
+                fetch_cap = min(fetch_cap, self._postings_C)
+        k_eff = self._quantize_k(min(k + deleted, fetch_cap))
+        if self._postings:
+            # tier rounding may exceed the executable's width (e.g. a
+            # 60-doc base rounds k=20 up to the 100 tier): clamp the DEVICE
+            # fetch back, matching TpuPostingsIndex.search_topk's
+            # min(tier, _base_n). The user's k is NOT clamped here — when
+            # k exceeds the base segment, the LSM-delta merge below tops
+            # results up from delta docs.
+            k_eff = min(k_eff, fetch_cap)
+            if self._postings_two_phase:
+                # documented ceiling: two-phase can honor at most the
+                # candidate-pool size (index.max_results())
+                k = min(k, self._postings_C)
         B = len(queries)
         padded = list(queries) + [""] * (
             _bucket_batch(max(B, 1), self.batch_pad) - B)
@@ -319,16 +354,20 @@ class ServingEngine:
             max_length=self.query_max_length, return_tensors="np")
         ids = jnp.asarray(enc["input_ids"].astype(np.int32))
         mask = jnp.asarray(enc["attention_mask"].astype(np.int32))
+        q_cached = None
         if self._postings:
             post_docs, post_w, term_scale = self.index._built
             if self._postings_two_phase:
-                vals, idxs = self._fused_jit(
+                fused_out = self._fused_jit(
                     self.params, post_docs, post_w, term_scale,
                     *self.index._doc_major, ids, mask, k_eff)
             else:
-                vals, idxs = self._fused_jit(
+                fused_out = self._fused_jit(
                     self.params, post_docs, post_w, term_scale, ids, mask,
                     k_eff)
+            vals, idxs = fused_out[0], fused_out[1]
+            if len(fused_out) > 2:  # mesh fused fn returns only (vals, idxs)
+                q_cached = fused_out[2], fused_out[3]
         else:
             mat, scale, n_valid = self.index.device_arrays()
             vals, idxs = self._fused_jit(
@@ -345,16 +384,24 @@ class ServingEngine:
                 for v, i in zip(vals[b], idxs[b]) if keep(v, int(i))][:k]
                for b in range(B)]
         if self._postings and getattr(self.index, "delta_count", 0):
-            # score the delta segment with a separate encode (the fused fn
-            # doesn't expose query vectors), truncated to the SAME top-T
-            # the base path uses so base/delta scores stay comparable
-            top_t = self.index.query_top_t
-            q_vecs = []
-            for qi, qv in self.encoder.encode_queries(list(queries)):
-                if len(qv) > top_t:
-                    keep_t = np.argsort(-np.asarray(qv))[:top_t]
-                    qi, qv = np.asarray(qi)[keep_t], np.asarray(qv)[keep_t]
-                q_vecs.append((qi, qv))
+            if q_cached is not None:
+                # the fused fn already computed the top-T query vectors —
+                # reuse them (a second full encode used to double device
+                # time for every search during the delta lifetime)
+                q_val = np.asarray(q_cached[0])[:B]
+                q_idx = np.asarray(q_cached[1])[:B]
+                q_vecs = [(q_idx[b], q_val[b]) for b in range(B)]
+            else:
+                # mesh fused path (no delta support today) or fallback:
+                # separate encode, truncated to the SAME top-T the base
+                # path uses so base/delta scores stay comparable
+                top_t = self.index.query_top_t
+                q_vecs = []
+                for qi, qv in self.encoder.encode_queries(list(queries)):
+                    if len(qv) > top_t:
+                        keep_t = np.argsort(-np.asarray(qv))[:top_t]
+                        qi, qv = np.asarray(qi)[keep_t], np.asarray(qv)[keep_t]
+                    q_vecs.append((qi, qv))
             d_scores = self.index.score_delta([v[0] for v in q_vecs],
                                               [v[1] for v in q_vecs])
             out = self.index.merge_delta(out, d_scores, k)

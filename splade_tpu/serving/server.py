@@ -256,8 +256,15 @@ def main(argv: Optional[list] = None) -> int:
             enc.model, enc.params, tokenizer, docs, int8=args.int8,
             query_top_k=args.query_top_k, index_type=index_kind,
             n_postings=args.n_postings, rescore_candidates=args.rescore)
-        if args.index_cache and hasattr(engine.index, "save"):
-            engine.index.save(args.index_cache)
+        if args.index_cache:
+            if hasattr(engine.index, "save"):
+                engine.index.save(args.index_cache)
+            else:
+                logger.warning(
+                    "--index-cache %s ignored: the %s backend has no "
+                    "save(); use --index postings for a persistable index "
+                    "(restarts will re-encode the corpus otherwise)",
+                    args.index_cache, index_kind)
     if args.warmup:
         logger.info("warming serving shapes (one compile per shape) ...")
     service = SearchService(engine, max_batch_size=args.max_batch_size,

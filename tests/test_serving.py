@@ -587,6 +587,68 @@ def test_delete_guarantee_at_k_equal_max_k(engine):
     assert index.deleted_count == 0  # the guard compacted synchronously
 
 
+def test_delta_growth_does_not_break_scatter_topk(engine):
+    """Regression: k_eff was capped at len(index) (base + delta) while the
+    scatter executable's top_k width is the BASE segment only — delta adds
+    made any k above the smallest tier crash with 'k larger than size'."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuPostingsIndex(VOCAB, n_postings=64, query_top_t=16,
+                             approx=False, scoring="scatter")
+    docs = [(f"doc{i}", f"문서 {i} 가나다") for i in range(16)]
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    e = ServingEngine(model, params, tok, index, query_top_k=16,
+                      query_max_length=16, k_tiers=(10, 100),
+                      delta_compact_threshold=1000)
+    assert len(e.search("문서 가나다", k=5)) == 5
+    # grow the delta past the base size without compacting
+    e.add_documents([(f"new{i}", f"문서 추가 {i} 나다") for i in range(16)])
+    res = e.search("문서 가나다", k=20)  # k > smallest tier, > base after filter
+    assert len(res) == 20
+    assert len({d for d, _ in res}) == 20
+
+
+def test_engine_survives_delete_all_then_readd(engine):
+    """Regression: compacting with every doc tombstoned used to raise
+    'empty index' and leave negative delta counts; now it leaves a clean
+    empty state that serves [] and accepts new docs."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.postings_index import TpuPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuPostingsIndex(VOCAB, n_postings=64, query_top_t=16,
+                             approx=False)
+    docs = [(f"doc{i}", f"문서 {i} 가나다") for i in range(12)]
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    # delete_cap small so the engine compacts with everything tombstoned
+    e = ServingEngine(model, params, tok, index, query_top_k=16,
+                      query_max_length=16, max_k=8,
+                      delta_compact_threshold=4)
+    assert e.search("문서 가나다", k=5)
+    e.delete_documents([d for d, _ in docs])
+    assert e.search("문서 가나다", k=5) == []
+    assert index.delta_count == 0 and index.deleted_count == 0
+    e.add_documents([("fresh", "문서 새로 가나다")])
+    res = e.search("문서 가나다", k=3)
+    assert [d for d, _ in res] == ["fresh"]
+
+
 def test_concurrent_crud_and_search_consistency(engine):
     """Hammer add/delete/search from threads: no crashes, no desync (every
     returned doc_id resolves, results stay well-formed)."""
