@@ -461,6 +461,12 @@ class MLMTrainer:
         try:
             self._train_epochs(cfg, gstep, tokens_per_step, run_start_step,
                                t0, save_checkpoint)
+            # final save still fetches device params — keep the watchdog
+            # armed through it (a wedge here is exactly the hang it
+            # exists to catch)
+            save_checkpoint(self.cfg.output_dir, self.state, self.cfg,
+                            epoch=self._last_epoch,
+                            best=self.tracker.best_value)
         finally:
             # An exception (non-finite loss, failed eval/save) must not
             # leave the armed watchdog alive: a caller that catches the
@@ -468,8 +474,6 @@ class MLMTrainer:
             # exit 17 tells the restart supervisor to resume a run that
             # deliberately aborted.
             self._watchdog.stop()
-        save_checkpoint(self.cfg.output_dir, self.state, self.cfg,
-                        epoch=self._last_epoch, best=self.tracker.best_value)
         self.tracker.summary()
         self.writer.close()
         return self.state
@@ -497,11 +501,9 @@ class MLMTrainer:
                 self.state = self.state.replace(
                     params=params, opt_state=opt, step=step)
                 gstep += 1
-                if self._watchdog.beat_due():
-                    # one completed-step proof per half-window regardless
-                    # of logging_steps (see trainer.py)
-                    float(metrics["loss"])
-                    self._watchdog.beat()
+                from splade_tpu.train.preemption import heartbeat_if_due
+
+                heartbeat_if_due(self._watchdog, metrics["loss"])
                 if gstep % cfg.logging_steps == 0 or gstep == 1:
                     host = {k: float(v) for k, v in metrics.items()}
                     self._watchdog.beat()  # float() proved a completed step
@@ -523,7 +525,9 @@ class MLMTrainer:
                     if scores:
                         self.writer.scalars(scores, gstep, prefix="eval/")
                         logger.info("eval @ step %d: %s", gstep, scores)
-                    self._watchdog.beat()  # eval is a legit long pause
+                        # beat only when eval resolved device work (empty
+                        # val set returns {} without touching the device)
+                        self._watchdog.beat()
                 if cfg.save_steps and gstep % cfg.save_steps == 0:
                     save_checkpoint(cfg.output_dir, self.state, self.cfg,
                                     epoch=epoch,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import signal
+import time
 
 logger = logging.getLogger(__name__)
 
@@ -52,10 +53,9 @@ class HangWatchdog:
     def __init__(self, timeout_s: float, on_trip=None, name: str = "train"):
         import os
         import threading
-        import time as _time
 
         self.timeout_s = float(timeout_s)
-        self._last = _time.monotonic()
+        self._last = time.monotonic()
         self._stop = threading.Event()
         self._name = name
 
@@ -73,7 +73,7 @@ class HangWatchdog:
         def watch() -> None:
             poll = max(min(self.timeout_s / 4.0, 30.0), 0.05)
             while not self._stop.wait(poll):
-                if _time.monotonic() - self._last > self.timeout_s:
+                if time.monotonic() - self._last > self.timeout_s:
                     self._on_trip()
                     return
 
@@ -83,9 +83,7 @@ class HangWatchdog:
             self._thread.start()
 
     def beat(self) -> None:
-        import time as _time
-
-        self._last = _time.monotonic()
+        self._last = time.monotonic()
 
     def beat_due(self) -> bool:
         """True once half the window has elapsed since the last beat.
@@ -96,10 +94,19 @@ class HangWatchdog:
         half-window so a HEALTHY run can never out-wait the watchdog,
         regardless of log_every_n_steps.
         """
-        import time as _time
-
         return (self.timeout_s > 0
-                and _time.monotonic() - self._last > self.timeout_s / 2.0)
+                and time.monotonic() - self._last > self.timeout_s / 2.0)
 
     def stop(self) -> None:
         self._stop.set()
+
+
+def heartbeat_if_due(wd, metric) -> None:
+    """Force one completed-step proof per half-window: block the host on a
+    scalar from the step's metrics (a resolved value proves the device
+    finished the step — async dispatch alone proves nothing). Shared by the
+    V33 and MLM training loops so beat placement cannot drift between them.
+    """
+    if wd is not None and wd.beat_due():
+        float(metric)
+        wd.beat()

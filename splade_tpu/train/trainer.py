@@ -299,11 +299,9 @@ class Trainer:
             samples += self.global_batch * self.accum
             gstep += 1
             wd = getattr(self, "_watchdog", None)
-            if wd is not None and wd.beat_due():
-                # Force one completed-step proof per half-window so a long
-                # log_every_n_steps can never out-wait the watchdog.
-                float(metrics["loss"])
-                wd.beat()
+            from splade_tpu.train.preemption import heartbeat_if_due
+
+            heartbeat_if_due(wd, metrics["loss"])
             if gstep % cfg.log_every_n_steps == 0 or gstep == 1:
                 host = {k: float(v) for k, v in metrics.items()}
                 # float() above blocked until this step actually finished
@@ -368,17 +366,24 @@ class Trainer:
                     scores = self.evaluator.evaluate(self.model, self.state.params)
                     self.writer.scalars(scores, int(self.state.step), prefix="eval/")
                     logger.info("eval @ epoch %d: %s", epoch, scores)
-                self._watchdog.beat()  # eval/epoch boundaries are legit pauses
+                    if scores:
+                        # only a non-empty eval actually resolved device
+                        # work — an unconditional beat would reset the hang
+                        # window on pure host-side progress
+                        self._watchdog.beat()
                 if epoch % cfg.save_every_n_epochs == 0 or epoch == cfg.num_epochs:
                     save_checkpoint(self.output_dir, self.state, self.cfg,
                                     epoch=epoch, best=self.tracker.best_value,
                                     async_write=epoch != cfg.num_epochs)
-                    self._watchdog.beat()
+                    self._watchdog.beat()  # save fetched device params
                 if cfg.max_steps and int(self.state.step) >= cfg.max_steps:
                     break
+            # Final drains still touch the device (pending async saves) —
+            # keep the watchdog armed through them: a transport wedge
+            # during the final save is exactly the hang it exists to catch.
+            wait_for_pending_saves()
         finally:
             self._watchdog.stop()
-        wait_for_pending_saves()
         self.tracker.summary()
         self.writer.close()
         return self.state
