@@ -30,8 +30,12 @@ def make_wordpiece_analyzer(tokenizer) -> Callable[[str], List[str]]:
     special = set(tokenizer.all_special_ids)
 
     def analyze(text: str) -> List[str]:
+        # no truncation: BM25 must index FULL documents (the encoder's 512
+        # positional limit doesn't apply to a bag-of-terms index; silently
+        # dropping long-doc tails deflated the baseline side of every
+        # bm25_* comparison)
         ids = tokenizer(text, add_special_tokens=False,
-                        truncation=True, max_length=512)["input_ids"]
+                        truncation=False, verbose=False)["input_ids"]
         return [str(i) for i in ids if i not in special]
 
     return analyze
@@ -167,7 +171,9 @@ class BM25Index:
         self._avg_len = 0.0
 
     def add_documents(self, docs: Sequence[Tuple[str, str]]) -> None:
-        """docs: (doc_id, text) pairs. Call finalize() after the last add."""
+        """docs: (doc_id, text) pairs. IDF/avg-len stats are invalidated by
+        every add and lazily recomputed at the next search, so adds after a
+        finalize() cannot serve stale statistics."""
         for doc_id, text in docs:
             terms = self.analyzer(text)
             idx = len(self.doc_ids)
@@ -175,6 +181,7 @@ class BM25Index:
             self.doc_lens.append(len(terms))
             for term, tf in Counter(terms).items():
                 self.postings[term].append((idx, tf))
+        self._idf = {}
 
     def finalize(self) -> None:
         n = max(len(self.doc_ids), 1)

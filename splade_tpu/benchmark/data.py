@@ -69,6 +69,10 @@ def load_triplet_benchmark(
         qid = f"q_{i}"
         corpus[f"doc_{i}_pos"] = s["positive"]
         negs = s.get("negatives") or ([s["negative"]] if s.get("negative") else [])
+        if not isinstance(negs, list):
+            # a string here would iterate per CHARACTER, flooding the
+            # corpus with one-char junk docs (collator.py guards the same)
+            negs = [negs]
         for j, n in enumerate(negs):
             corpus[f"doc_{i}_neg{j}"] = n
         queries[qid] = s["query"]

@@ -161,8 +161,11 @@ class SparseEncoderV33:
         from pathlib import Path
 
         if (Path(path) / "model.msgpack").exists():
-            return cls.from_checkpoint(path, tokenizer, **kwargs)
-        return cls.from_hf_dir(path, tokenizer, **kwargs)
+            enc = cls.from_checkpoint(path, tokenizer, **kwargs)
+        else:
+            enc = cls.from_hf_dir(path, tokenizer, **kwargs)
+        enc.source_path = str(path)  # cache fingerprinting (runner.py)
+        return enc
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, tokenizer, **kwargs) -> "SparseEncoderV33":

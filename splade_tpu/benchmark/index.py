@@ -70,8 +70,11 @@ class ExactSparseIndex:
             return []
         top = np.argpartition(-scores, k - 1)[:k]
         top = top[np.lexsort((top, -scores[top]))]
-        return [(self.doc_ids[i], float(scores[i])) for i in top if scores[i] > 0] or [
-            (self.doc_ids[i], float(scores[i])) for i in top[:1]]
+        # zero score = no term overlap = not a hit. Returning a fabricated
+        # rank-1 doc here would credit recall/MRR by chance and hand RRF
+        # fusion 1/(60+1) for an arbitrary doc.
+        return [(self.doc_ids[i], float(scores[i])) for i in top
+                if scores[i] > 0]
 
     def search_dense(self, vec: np.ndarray, k: int = 10, query_top_k: int = 0
                      ) -> List[Tuple[str, float]]:
