@@ -74,10 +74,14 @@ def export_checkpoint_to_hf(
     n_groups = next(                      # blocks are [n_groups, ...] scan-stacked
         x.shape[0] for x in
         __import__("jax").tree_util.tree_leaves(mlm["blocks"]))
+    # layer0 + [local,local,global]*n_groups + unrolled tail_{i} layers
+    # (depths not of the form 1+3k keep their extras as tail_* — counting
+    # only the scan blocks would silently export a shallower network)
+    n_tail = sum(1 for k in mlm if k.startswith("tail_"))
     config = ModernBertConfig(
         vocab_size=emb.shape[0],
         hidden_size=emb.shape[1],
-        num_hidden_layers=1 + 3 * n_groups,  # layer0 + [local,local,global]*
+        num_hidden_layers=1 + 3 * n_groups + n_tail,
         intermediate_size=(
             mlm["layer0"]["mlp"]["Wi"]["kernel"].shape[1] // 2),  # GeGLU 2x
         # heads are not recoverable from fused qkv weights; pass

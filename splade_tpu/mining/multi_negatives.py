@@ -52,7 +52,14 @@ def mine_multi_negatives(
         if k not in seen and k in key_to_idx:
             seen.add(k)
             pool_texts.append(p)
-    pool_idx = np.asarray([key_to_idx[_key(t)] for t in pool_texts])
+    if not pool_texts:
+        raise ValueError(
+            "empty mining pool: none of the input rows' positive texts are "
+            "in the teacher cache's text_to_idx — wrong --cache-dir, or the "
+            "cache was built from different shards (re-run "
+            "precompute_teacher_scores over THESE inputs first)")
+    pool_idx = np.asarray([key_to_idx[_key(t)] for t in pool_texts],
+                          np.int64)
     pool = emb[pool_idx]  # [P, D]
     logger.info("mining pool: %d docs", len(pool_texts))
 

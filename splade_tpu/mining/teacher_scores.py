@@ -24,6 +24,19 @@ def _text_key(text: str) -> str:
     return hashlib.md5(text.encode("utf-8")).hexdigest()
 
 
+def _encode_batched(teacher, texts: Sequence[str],
+                    batch_size: int = 256) -> np.ndarray:
+    """Chunked teacher encode: one call on a million-text corpus would
+    materialize the whole tokenized batch at once (same pattern as
+    preprocessing/miners.py EncoderHardNegativeMiner._encode)."""
+    if not texts:
+        return np.zeros((0, 0), np.float32)
+    parts = [np.asarray(teacher.encode(list(texts[i:i + batch_size])),
+                        np.float32)
+             for i in range(0, len(texts), batch_size)]
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 def collect_unique_texts(rows: Sequence[dict]) -> tuple[List[str], Dict[str, int]]:
     """All distinct query/positive/negative texts, keyed by md5."""
     texts: List[str] = []
@@ -72,11 +85,26 @@ def precompute_teacher_scores(
     idx_path = cache / "text_to_idx.json"
     if emb_path.exists() and idx_path.exists():
         emb = np.load(emb_path)
-        key_to_idx = json.loads(idx_path.read_text())
+        cached_idx = json.loads(idx_path.read_text())
+        # coverage check: inputs may have grown since the cache was built
+        # (a later mining pass adds negatives, a new shard lands) — encode
+        # ONLY the missing texts and extend the cache instead of silently
+        # leaving new rows unscored
+        missing = [t for t in texts if _text_key(t) not in cached_idx]
+        if missing:
+            logger.info("cache misses %d of %d texts: encoding the delta",
+                        len(missing), len(texts))
+            new_emb = _encode_batched(teacher, missing)
+            for t in missing:
+                cached_idx[_text_key(t)] = len(cached_idx)
+            emb = np.concatenate([emb, new_emb])
+            np.save(emb_path, emb)
+            idx_path.write_text(json.dumps(cached_idx))
+        key_to_idx = cached_idx
         logger.info("reusing cached embeddings: %s (%d texts)", emb_path, len(emb))
     else:
         logger.info("encoding %d unique texts with teacher", len(texts))
-        emb = np.asarray(teacher.encode(texts), np.float32)
+        emb = _encode_batched(teacher, texts)
         np.save(emb_path, emb)
         idx_path.write_text(json.dumps(key_to_idx))
 
@@ -88,16 +116,24 @@ def precompute_teacher_scores(
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with open(out_path, "w", encoding="utf-8") as f:
         for row in rows:
+            # score the row ATOMICALLY: a partial row (pos score written,
+            # negative missing) would make the collator fabricate a 0.0
+            # neg score and train MarginMSE on a fake margin
             try:
-                row["teacher_pos_score"] = score(row["query"], row["positive"])
+                pos = score(row["query"], row["positive"])
                 if row.get("negatives"):
-                    row["teacher_neg_scores"] = [
-                        score(row["query"], n) for n in row["negatives"]]
+                    negs = {"teacher_neg_scores": [
+                        score(row["query"], n) for n in row["negatives"]]}
                 elif row.get("negative"):
-                    row["teacher_neg_score"] = score(row["query"], row["negative"])
+                    negs = {"teacher_neg_score":
+                            score(row["query"], row["negative"])}
+                else:
+                    negs = {}
+                row["teacher_pos_score"] = pos
+                row.update(negs)
                 n_scored += 1
             except KeyError:
-                pass
+                pass  # row left entirely unscored -> collator skips its KD
             f.write(json.dumps(row, ensure_ascii=False) + "\n")
     meta = {"rows": len(rows), "scored": n_scored, "unique_texts": len(key_to_idx),
             "cache": str(cache)}

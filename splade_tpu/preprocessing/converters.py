@@ -76,6 +76,9 @@ class STSConverter(BaseConverter):
 
     def __init__(self, pos_threshold: float = 4.0, neg_threshold: float = 1.5,
                  scale: float = 5.0):
+        """Thresholds are on KorSTS's native 0-5 scale; datasets delivering
+        normalized 0-1 similarity are rescaled by ``scale`` (detected by
+        every score being <= 1)."""
         self.pos_threshold = pos_threshold
         self.neg_threshold = neg_threshold
         self.scale = scale
@@ -83,9 +86,12 @@ class STSConverter(BaseConverter):
     def convert(self, samples: List[RawSample]) -> List[Triplet]:
         pos_pairs, neg_texts = [], []
         src = samples[0].source if samples else ""
-        for s in samples:
+        raw = [float(s.fields.get("score", 0.0)) for s in samples]
+        normalized = bool(raw) and max(raw) <= 1.0
+        for s, score in zip(samples, raw):
             f = s.fields
-            score = float(f.get("score", 0.0))
+            if normalized:
+                score *= self.scale
             if score >= self.pos_threshold:
                 pos_pairs.append((f.get("sentence1", ""), f.get("sentence2", "")))
             elif score <= self.neg_threshold:
@@ -199,9 +205,16 @@ class WebPassageConverter(BaseConverter):
                      if p.strip()]
             korean = [p for p in paras
                       if hangul_count(p) >= self.min_hangul]
-            if len(korean) < 2 or len(korean[0]) >= self.max_query_chars:
+            # first SHORT Korean-heavy paragraph as the query side, the
+            # next paragraph as the positive — web/encyclopedia articles
+            # usually open with a long lead, so scan instead of requiring
+            # korean[0] itself to be short
+            qi = next((i for i, p in enumerate(korean[:-1])
+                       if len(p) < self.max_query_chars), None)
+            if qi is None:
                 continue
-            t = self._mk(korean[0], korean[1], None, "web_passage", s.source)
+            t = self._mk(korean[qi], korean[qi + 1], None, "web_passage",
+                         s.source)
             if t:
                 out.append(t)
         return out

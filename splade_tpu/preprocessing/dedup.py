@@ -8,9 +8,12 @@ MinHash with 128 permutations, Jaccard-estimate threshold 0.8, plus an exact
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Iterable, List, Set
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 
@@ -33,7 +36,14 @@ class MinHashDeduplicator:
 
     def __init__(self, threshold: float = 0.8, num_perm: int = 128,
                  ngram: int = 3, seed: int = 1, bands: int = 16):
-        assert num_perm % bands == 0
+        if num_perm % bands:
+            # config exposes minhash_permutations without a bands knob —
+            # adjust to the largest divisor <= requested instead of
+            # asserting mid-pipeline after hours of upstream work
+            bands = next(b for b in range(min(bands, num_perm), 0, -1)
+                         if num_perm % b == 0)
+            logger.warning("bands adjusted to %d (must divide num_perm=%d)",
+                           bands, num_perm)
         self.threshold = threshold
         self.num_perm = num_perm
         self.ngram = ngram

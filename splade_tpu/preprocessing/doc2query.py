@@ -136,16 +136,23 @@ def finetune_doc2query(
                     "attention_mask": enc["attention_mask"][0],
                     "labels": labels}
 
+    if not train_pairs:
+        raise ValueError("finetune_doc2query: no training pairs "
+                         "(upstream filtering removed everything?)")
     loader = DataLoader(PairDataset(), batch_size=batch_size, shuffle=True)
     opt = torch.optim.AdamW(model.parameters(), lr=lr)
     model.train()
     for epoch in range(epochs):
+        total, n_batches = 0.0, 0
         for batch in loader:
             loss = model(**batch).loss
             loss.backward()
             opt.step()
             opt.zero_grad()
-        logger.info("doc2query epoch %d loss %.4f", epoch + 1, float(loss))
+            total += float(loss)
+            n_batches += 1
+        logger.info("doc2query epoch %d mean loss %.4f (%d batches)",
+                    epoch + 1, total / max(n_batches, 1), n_batches)
     Path(output_dir).mkdir(parents=True, exist_ok=True)
     model.save_pretrained(output_dir)
     tokenizer.save_pretrained(output_dir)

@@ -36,7 +36,11 @@ class DatasetSpec:
 
 REGISTRY: Dict[str, DatasetSpec] = {s.key: s for s in [
     DatasetSpec("kornli", "nli", "kor_nli", "multi_nli",
+                # the HF dataset exposes premise/hypothesis/label; the
+                # sentence1/sentence2/gold_label names appear only in the
+                # raw TSVs — map BOTH so either artifact layout loads
                 field_map={"sentence1": "premise", "sentence2": "hypothesis",
+                           "premise": "premise", "hypothesis": "hypothesis",
                            "gold_label": "label", "label": "label"}),
     DatasetSpec("klue-nli", "nli", "klue", "nli",
                 field_map={"premise": "premise", "hypothesis": "hypothesis",
