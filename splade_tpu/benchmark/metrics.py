@@ -83,27 +83,45 @@ def aggregate_metrics(results: Sequence[QueryResult]) -> Dict[str, float]:
     return out
 
 
-def paired_t_test(
-    a: Sequence[QueryResult], b: Sequence[QueryResult]
+def paired_t_test_values(
+    a: Sequence[float], b: Sequence[float]
 ) -> Dict[str, float]:
-    """Paired t-test on reciprocal ranks (reference: metrics.py:148-180).
+    """Paired two-sided t-test over aligned per-item values — the ONE
+    implementation (evaluation/ranking_metrics.py delegates here; two
+    drifting copies once returned opposite verdicts for a constant nonzero
+    difference). No scipy in the hot path: p-value via the regularized
+    incomplete beta.
 
-    Implemented directly (no scipy dependency in the hot path): two-sided
-    p-value from the t distribution via the regularized incomplete beta.
+    Zero variance: a constant nonzero difference is infinitely significant
+    (p -> 0); an identically-zero difference is no evidence (p = 1).
     """
-    xa = np.asarray([r.reciprocal_rank for r in a], dtype=np.float64)
-    xb = np.asarray([r.reciprocal_rank for r in b], dtype=np.float64)
+    xa = np.asarray(a, dtype=np.float64)
+    xb = np.asarray(b, dtype=np.float64)
     assert len(xa) == len(xb), "paired test needs aligned query sets"
     d = xa - xb
     n = len(d)
-    if n < 2 or np.allclose(d.std(ddof=1), 0):
-        return {"t_statistic": 0.0, "p_value": 1.0, "mean_diff": float(d.mean() if n else 0)}
+    if n < 2:
+        return {"t_statistic": 0.0, "p_value": 1.0,
+                "mean_diff": float(d.mean() if n else 0)}
+    if np.allclose(d.std(ddof=1), 0):
+        if np.allclose(d.mean(), 0):
+            return {"t_statistic": 0.0, "p_value": 1.0, "mean_diff": 0.0}
+        return {"t_statistic": float("inf"), "p_value": 0.0,
+                "mean_diff": float(d.mean())}
     t = d.mean() / (d.std(ddof=1) / math.sqrt(n))
     df = n - 1
     # two-sided p-value via incomplete beta I_{df/(df+t^2)}(df/2, 1/2)
     x = df / (df + t * t)
     p = _betainc(df / 2.0, 0.5, x)
     return {"t_statistic": float(t), "p_value": float(p), "mean_diff": float(d.mean())}
+
+
+def paired_t_test(
+    a: Sequence[QueryResult], b: Sequence[QueryResult]
+) -> Dict[str, float]:
+    """Paired t-test on reciprocal ranks (reference: metrics.py:148-180)."""
+    return paired_t_test_values([r.reciprocal_rank for r in a],
+                                [r.reciprocal_rank for r in b])
 
 
 def bootstrap_ci(

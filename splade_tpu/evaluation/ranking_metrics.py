@@ -138,7 +138,11 @@ class RankingMetrics:
         self, sparse_vec: np.ndarray, item: GradedRelevance,
         ks: Sequence[int] = (5, 10, 20),
     ) -> Dict[str, float]:
-        ranked = [t for t, _ in self.ranked_tokens(sparse_vec, top_k=max(ks) * 2)]
+        # rank depth: at least ranked_tokens' own 100 default — a tighter
+        # max(ks)*2 cap silently turned MRR into MRR@40 (first relevant
+        # token past the cap scored 0 instead of 1/rank)
+        ranked = [t for t, _ in self.ranked_tokens(
+            sparse_vec, top_k=max(100, max(ks) * 2))]
         relevant = item.relevant_tokens()
         out = {f"recall@{k}": self.recall_at_k(ranked, relevant, k) for k in ks}
         out["mrr"] = self.mrr(ranked, relevant)
@@ -178,19 +182,12 @@ class ModelComparison:
 
     @staticmethod
     def paired_t_test(a: Sequence[float], b: Sequence[float]) -> Dict[str, float]:
-        xa, xb = np.asarray(a, float), np.asarray(b, float)
-        d = xa - xb
-        n = len(d)
-        if n < 2:
-            return {"t_statistic": 0.0, "p_value": 1.0, "mean_diff": float(d.mean() if n else 0)}
-        if np.allclose(d.std(ddof=1), 0):
-            # Constant difference: zero variance. p -> 0 unless the diff is 0.
-            p = 1.0 if np.allclose(d.mean(), 0) else 0.0
-            return {"t_statistic": float("inf") if p == 0 else 0.0,
-                    "p_value": p, "mean_diff": float(d.mean())}
-        t = d.mean() / (d.std(ddof=1) / math.sqrt(n))
-        p = _betainc((n - 1) / 2.0, 0.5, (n - 1) / ((n - 1) + t * t))
-        return {"t_statistic": float(t), "p_value": float(p), "mean_diff": float(d.mean())}
+        # single canonical implementation — a drifted local copy once gave
+        # the opposite significance verdict to benchmark/metrics.py for a
+        # constant nonzero difference
+        from splade_tpu.benchmark.metrics import paired_t_test_values
+
+        return paired_t_test_values(a, b)
 
     @staticmethod
     def bootstrap_ci(values: Sequence[float], n_boot: int = 1000,
@@ -199,9 +196,9 @@ class ModelComparison:
         vals = np.asarray(values, float)
         if len(vals) == 0:
             return {"lower": 0.0, "upper": 0.0, "mean": 0.0}
-        boots = np.asarray([
-            vals[rng.integers(0, len(vals), len(vals))].mean()
-            for _ in range(n_boot)])
+        # vectorized resample (same shape as benchmark/metrics.py's core)
+        idx = rng.integers(0, len(vals), size=(n_boot, len(vals)))
+        boots = vals[idx].mean(axis=1)
         return {"lower": float(np.percentile(boots, 100 * alpha / 2)),
                 "upper": float(np.percentile(boots, 100 * (1 - alpha / 2))),
                 "mean": float(boots.mean())}

@@ -26,10 +26,21 @@ def unit_ball_volume(d: int) -> float:
     return math.pi ** (d / 2) / math.gamma(d / 2 + 1)
 
 
+def _pairwise_sq_dists(x: np.ndarray) -> np.ndarray:
+    """[n, n] squared distances via ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a·b.
+
+    O(n^2 + n*d) memory — the broadcastized (x[:,None]-x[None])**2 form
+    materializes an [n, n, d] tensor (153 GB at n=5000, d=768: the module's
+    stated synonym-filtering workload) and OOMs.
+    """
+    sq = (x * x).sum(-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    return np.maximum(d2, 0.0)  # clamp the fp cancellation noise
+
+
 def _knn_radii(x: np.ndarray, k: int) -> np.ndarray:
     """Distance to the k-th nearest neighbor (excluding self) per point."""
-    n = x.shape[0]
-    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    d2 = _pairwise_sq_dists(x)
     np.fill_diagonal(d2, np.inf)
     kth = np.partition(d2, k - 1, axis=1)[:, k - 1]
     return np.sqrt(np.maximum(kth, 1e-30))
@@ -104,7 +115,7 @@ class InformationGainFilter:
             # unexplainable by construction -> neutral gain 0 (kept by any
             # percentile threshold), not NaN from an empty-axis mean
             return np.zeros(n, np.float64)
-        d2 = ((src[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+        d2 = _pairwise_sq_dists(src)
         np.fill_diagonal(d2, np.inf)
         nbrs = np.argpartition(d2, k - 1, axis=1)[:, :k]  # [n, k]
         pred = tgt[nbrs].mean(axis=1)
@@ -119,6 +130,14 @@ class InformationGainFilter:
         src_emb: np.ndarray,
         tgt_emb: np.ndarray,
     ) -> List[IGResult]:
+        if not (len(pairs) == len(src_emb) == len(tgt_emb)):
+            # zip would silently truncate, dropping pairs from the result
+            # and computing the percentile over the wrong population
+            raise ValueError(
+                f"length mismatch: {len(pairs)} pairs, {len(src_emb)} src "
+                f"embeddings, {len(tgt_emb)} tgt embeddings")
+        if not len(pairs):
+            return []
         gains = self.information_gains(src_emb, tgt_emb)
         thr = (self.threshold if self.threshold is not None
                else float(np.percentile(gains, self.percentile)))

@@ -124,6 +124,12 @@ def infonce_loss(
     in_batch = jnp.dot(anchor, candidates.T,
                        preferred_element_type=jnp.float32) / temperature
     if axis_name is None and num_blocks > 1:
+        if B % num_blocks:
+            # a remainder would silently form a phantom extra block with a
+            # smaller candidate set (and num_blocks > B divides by zero) —
+            # fail loudly like flops_loss's reshape does
+            raise ValueError(
+                f"batch {B} not divisible by num_blocks={num_blocks}")
         block = B // num_blocks
         row_blk = jnp.arange(B)[:, None] // block
         col_blk = jnp.arange(B)[None, :] // block
@@ -158,17 +164,36 @@ def kl_kd_loss(
     positive: jnp.ndarray,
     teacher_scores: jnp.ndarray,
     kd_temperature: float = 1.0,
+    num_blocks: int = 1,
 ) -> jnp.ndarray:
     """KL KD over the in-batch score matrix (reference: losses.py:239-253).
 
     KL(teacher softmax || student log-softmax), batchmean reduction.
+    num_blocks > 1 masks BOTH softmaxes to contiguous B/num_blocks blocks —
+    the reference's per-rank KD scope on a global batch, same semantics as
+    infonce_loss's block masking (without it, the student distribution
+    would span cross-device candidates the reference never sees).
     """
     student = jnp.dot(anchor.astype(jnp.float32), positive.astype(jnp.float32).T,
                       preferred_element_type=jnp.float32) / kd_temperature
-    t_logp = jax.nn.log_softmax(teacher_scores.astype(jnp.float32) / kd_temperature, axis=-1)
+    teacher = teacher_scores.astype(jnp.float32) / kd_temperature
+    if num_blocks > 1:
+        B = student.shape[0]
+        if B % num_blocks:
+            raise ValueError(
+                f"batch {B} not divisible by num_blocks={num_blocks}")
+        block = B // num_blocks
+        same = (jnp.arange(B)[:, None] // block
+                == jnp.arange(B)[None, :] // block)
+        student = jnp.where(same, student, -jnp.inf)
+        teacher = jnp.where(same, teacher, -jnp.inf)
+    t_logp = jax.nn.log_softmax(teacher, axis=-1)
     t_prob = jnp.exp(t_logp)
     s_logp = jax.nn.log_softmax(student, axis=-1)
-    return jnp.mean(jnp.sum(t_prob * (t_logp - s_logp), axis=-1))
+    # -inf - -inf would be NaN on masked columns; their probability is 0,
+    # so zero the contribution explicitly
+    contrib = jnp.where(t_prob > 0, t_prob * (t_logp - s_logp), 0.0)
+    return jnp.mean(jnp.sum(contrib, axis=-1))
 
 
 def v33_loss(
@@ -209,7 +234,8 @@ def v33_loss(
 
     kd = jnp.float32(0.0)
     if cfg.lambda_kd > 0 and teacher_scores is not None:
-        kd = kl_kd_loss(anchor, positive, teacher_scores, cfg.kd_temperature)
+        kd = kl_kd_loss(anchor, positive, teacher_scores, cfg.kd_temperature,
+                        num_blocks=nce_blocks)
         loss = loss + cfg.lambda_kd * kd
     mmse = jnp.float32(0.0)
     if (cfg.lambda_margin_mse > 0 and teacher_pos_scores is not None

@@ -91,8 +91,13 @@ class SynonymValidator:
             lines.append(f"| {r.source} | {r.target} | {pmi_s} | {r.valid} | {r.reason} |")
         report = "\n".join(lines)
         if path:
-            Path(path).parent.mkdir(parents=True, exist_ok=True)
-            Path(path).write_text(report)
-            Path(path).with_suffix(".json").write_text(
+            p = Path(path)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            if p.suffix == ".json":
+                # with_suffix('.json') would equal the report path and the
+                # JSON dump would overwrite the markdown — keep them apart
+                p = p.with_suffix(".md")
+            p.write_text(report)
+            p.with_suffix(".json").write_text(
                 json.dumps([asdict(r) for r in results], ensure_ascii=False))
         return report
