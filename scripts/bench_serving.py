@@ -59,6 +59,12 @@ def run_load(address, n_clients: int, n_requests: int, queries):
         t.join()
     wall = time.time() - t0
     lat.sort()
+    if not lat:
+        # all requests failed (e.g. cold compile outlived the client
+        # timeout) — report the errors instead of IndexError-ing on lat[-1]
+        return {"requests_ok": 0, "errors": len(errors),
+                "wall_s": round(wall, 2), "qps": 0.0,
+                "error_sample": errors[:3]}
     pick = lambda p: round(lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3, 2)
     return {
         "requests_ok": len(lat),

@@ -139,15 +139,17 @@ def main() -> int:
                          return_tensors="np")
         ids = jnp.asarray(enc2["input_ids"].astype(np.int32))
         mask = jnp.asarray(enc2["attention_mask"].astype(np.int32))
+        # single-phase (--rescore 0) indexes have no _doc_major and a
+        # shorter fused-fn arity
+        dm = engine.index._doc_major if engine._postings_two_phase else ()
         r = engine._fused_jit(engine.params, post_docs, post_w, term_scale,
-                              *engine.index._doc_major, ids, mask, k_eff)
+                              *dm, ids, mask, k_eff)
         jax.block_until_ready(r)
         t0 = time.perf_counter()
         last = None
         for _ in range(N):
             last = engine._fused_jit(engine.params, post_docs, post_w,
-                                     term_scale, *engine.index._doc_major,
-                                     ids, mask, k_eff)
+                                     term_scale, *dm, ids, mask, k_eff)
         jax.block_until_ready(last)
         pipe[B] = round((time.perf_counter() - t0) / N * 1e3, 2)
         print(f"B={B}: pipelined device time {pipe[B]:.2f} ms/batch",

@@ -74,12 +74,14 @@ class DynamicBatcher:
 
     def stats(self) -> dict:
         with self._lock:
+            # counters update under the same lock in the worker — reading
+            # them outside could pair items from N batches with N+1
             lat = sorted(self._latencies)
+            n_batches, n_items = self.n_batches, self.n_items
         out = {
-            "batches": self.n_batches,
-            "items": self.n_items,
-            "mean_batch_size": (self.n_items / self.n_batches
-                                if self.n_batches else 0.0),
+            "batches": n_batches,
+            "items": n_items,
+            "mean_batch_size": (n_items / n_batches if n_batches else 0.0),
         }
         if lat:
             pick = lambda p: lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3

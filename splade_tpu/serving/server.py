@@ -112,12 +112,27 @@ def make_handler(service: SearchService):
             else:
                 self._reply(404, {"error": f"no route {self.path}"})
 
+        MAX_BODY_BYTES = 64 << 20  # bound rfile.read: Content-Length is
+        MAX_BATCH_ITEMS = 4096     # client-controlled; so is the list size
+
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > self.MAX_BODY_BYTES:
+                    return self._reply(413, {
+                        "error": f"body {n} bytes exceeds "
+                                 f"{self.MAX_BODY_BYTES} limit"})
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 return self._reply(400, {"error": f"bad JSON: {e}"})
+            for key in ("queries", "docs", "ids", "texts"):
+                v = req.get(key)
+                if isinstance(v, list) and len(v) > self.MAX_BATCH_ITEMS:
+                    # one request must not monopolize the device / enqueue
+                    # unbounded futures into the batcher
+                    return self._reply(413, {
+                        "error": f"'{key}' has {len(v)} items; limit "
+                                 f"{self.MAX_BATCH_ITEMS} per request"})
             try:
                 if self.path == "/search":
                     queries = req.get("queries")
@@ -161,7 +176,14 @@ def make_handler(service: SearchService):
                     self._reply(404, {"error": f"no route {self.path}"})
             except Exception as e:  # noqa: BLE001 — report, keep serving
                 logger.exception("request failed")
-                self._reply(500, {"error": str(e)})
+                try:
+                    self._reply(500, {"error": str(e)})
+                except OSError:
+                    # client already disconnected (e.g. its timeout was
+                    # shorter than a cold compile): replying on the dead
+                    # socket would dump a second raw traceback via
+                    # socketserver.handle_error
+                    logger.warning("client gone before error reply")
 
     return Handler
 
@@ -223,7 +245,10 @@ def main(argv: Optional[list] = None) -> int:
     import os
 
     cache_hit = args.index_cache and os.path.exists(args.index_cache)
-    index_kind = args.index or ("postings" if cache_hit else "dense")
+    # --index-cache implies the postings backend even on the FIRST run
+    # (dense has no save(): the cache would never be created and every
+    # restart would silently re-encode the corpus)
+    index_kind = args.index or ("postings" if args.index_cache else "dense")
     if cache_hit:
         from splade_tpu.ops.postings_index import TpuPostingsIndex
         from splade_tpu.serving.engine import ServingEngine
