@@ -274,6 +274,16 @@ def test_server_input_validation(http_server):
     assert _req(http_server, "GET", "/nope")[0] == 404
 
 
+def test_server_bounds_oversized_requests(http_server):
+    """DoS bounds: an oversized list payload is rejected with 413 before
+    any device work; the body-size cap fields exist and are sane."""
+    code, body = _req(http_server, "POST", "/search",
+                      {"queries": ["q"] * 5000})
+    assert code == 413 and "limit" in body.get("error", "")
+    code, _ = _req(http_server, "POST", "/delete", {"ids": ["x"] * 5000})
+    assert code == 413
+
+
 def test_postings_engine_survives_index_mutation():
     """Adding documents after engine construction must not crash or serve a
     stale doc count (code-review finding: _built unpacking of None)."""
