@@ -37,6 +37,12 @@ def load_library() -> Optional[ctypes.CDLL]:
     if _checked:
         return _lib
     _checked = True
+    env_path = os.environ.get("SPLADE_POSTINGS_LIB")
+    if env_path and not Path(env_path).exists():
+        # an explicit override must not silently fall through to the
+        # repo-default .so (operator expects THEIR freshly-built library)
+        logger.warning("SPLADE_POSTINGS_LIB=%s does not exist; falling "
+                       "back to the default library search", env_path)
     for cand in _LIB_CANDIDATES:
         if not cand or not Path(cand).exists():
             continue

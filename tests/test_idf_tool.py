@@ -56,6 +56,13 @@ def test_cpp_tool_matches_python_reference(tool, tokenizer, tmp_path):
         {"query": "서울 여행 맛집, 추천!", "positive": "서울의 유명한 음식점 목록",
          "negatives": ["부산 여행 정보", "제주도 관광 안내"]},
         {"query": "machine learning 기초", "positive": "머신러닝(ML) 입문 강의: 1장"},
+        # adversarial parity rows (code-review findings): NBSP between
+        # words (HF = whitespace), fullwidth punctuation ！，, an EMPTY
+        # field (must not count as a document), and a >100-char word (HF
+        # -> [UNK])
+        {"query": "공백 문자 테스트", "positive": "전각！문장，부호 검사",
+         "negative": ""},
+        {"query": "가" * 120, "positive": "긴 단어 처리"},
     ]
     shard = tmp_path / "train.jsonl"
     shard.write_text("\n".join(json.dumps(r, ensure_ascii=False) for r in rows),
@@ -73,7 +80,7 @@ def test_cpp_tool_matches_python_reference(tool, tokenizer, tmp_path):
     idf_cpp, meta_cpp = load_idf(str(out))
 
     texts = triplet_texts([str(shard)])
-    assert meta_cpp["num_docs"] == len(texts) == 9
+    assert meta_cpp["num_docs"] == len(texts) == 13
     idf_py, meta_py = compute_idf(texts, tokenizer, meta_cpp["vocab_size"])
     # Document frequencies must match exactly -> identical IDF arrays.
     mismatch = np.flatnonzero(np.abs(idf_cpp - idf_py) > 1e-5)

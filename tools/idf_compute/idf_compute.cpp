@@ -80,14 +80,26 @@ bool is_cjk_ideograph(uint32_t cp) {
 }
 
 bool is_space_cp(uint32_t cp) {
-    return cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == 0x3000;
+    // HF BasicTokenizer whitespace = \t\n\r space + Unicode Zs. NBSP and
+    // the U+2000 block are ubiquitous in crawled HTML — gluing across
+    // them silently shifts document frequencies vs the Python reference.
+    if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') return true;
+    if (cp == 0x00A0 || cp == 0x1680 || cp == 0x202F || cp == 0x205F ||
+        cp == 0x3000) return true;
+    if (cp >= 0x2000 && cp <= 0x200A) return true;   // en/em/thin spaces
+    return cp == 0x2028 || cp == 0x2029;             // line/para separator
 }
 
 bool is_punct_cp(uint32_t cp) {
-    // ASCII punctuation ranges (BertTokenizer semantics) + general punct block.
+    // ASCII punctuation ranges (BertTokenizer semantics) + general punct
+    // block + CJK symbols + fullwidth/halfwidth forms (！，？ etc. are
+    // Po-category punctuation HF splits on; common in Korean web text).
     if ((cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
         (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)) return true;
-    return (cp >= 0x2000 && cp <= 0x206F) || (cp >= 0x3001 && cp <= 0x303F);
+    if ((cp >= 0x2000 && cp <= 0x206F) || (cp >= 0x3001 && cp <= 0x303F))
+        return true;
+    return (cp >= 0xFF01 && cp <= 0xFF0F) || (cp >= 0xFF1A && cp <= 0xFF20) ||
+           (cp >= 0xFF3B && cp <= 0xFF40) || (cp >= 0xFF5B && cp <= 0xFF65);
 }
 
 // ------------------------------------------------------------- tokenizer
@@ -133,7 +145,11 @@ struct WordPiece {
 
     // Greedy longest-match WordPiece of one word into token ids.
     void wordpiece(const std::string& word, std::vector<int32_t>& out) const {
-        if (word.size() > 400) { out.push_back(unk_id); return; }
+        // HF max_input_chars_per_word = 100 CODEPOINTS -> UNK (a byte
+        // cap silently diverged on long non-ASCII runs)
+        size_t ncp = 0;
+        for (char ch : word) ncp += ((ch & 0xC0) != 0x80);
+        if (ncp > 100) { out.push_back(unk_id); return; }
         size_t start = 0;
         std::vector<int32_t> pieces;
         while (start < word.size()) {
@@ -177,17 +193,35 @@ void decode_json_string(const std::string& raw, std::string& out) {
             case 'r': out += '\r'; break;
             case 'b': case 'f': out += ' '; break;
             case 'u': {
-                if (i + 4 < raw.size()) {
-                    uint32_t cp = (uint32_t)std::stoul(raw.substr(i + 1, 4), nullptr, 16);
+                // validate hex FIRST: std::stoul on a malformed escape
+                // (\uZZZZ in one corrupt row) would throw inside a worker
+                // thread and std::terminate the whole multi-hour run
+                auto hex4 = [&](size_t pos, uint32_t& v) {
+                    if (pos + 4 > raw.size()) return false;
+                    v = 0;
+                    for (size_t j = pos; j < pos + 4; ++j) {
+                        char h = raw[j];
+                        uint32_t d;
+                        if (h >= '0' && h <= '9') d = h - '0';
+                        else if (h >= 'a' && h <= 'f') d = h - 'a' + 10;
+                        else if (h >= 'A' && h <= 'F') d = h - 'A' + 10;
+                        else return false;
+                        v = (v << 4) | d;
+                    }
+                    return true;
+                };
+                uint32_t cp;
+                if (hex4(i + 1, cp)) {
                     i += 4;
+                    uint32_t lo;
                     if (cp >= 0xD800 && cp <= 0xDBFF && i + 6 < raw.size() &&
-                        raw[i + 1] == '\\' && raw[i + 2] == 'u') {
-                        uint32_t lo = (uint32_t)std::stoul(raw.substr(i + 3, 4), nullptr, 16);
+                        raw[i + 1] == '\\' && raw[i + 2] == 'u' &&
+                        hex4(i + 3, lo)) {
                         cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
                         i += 6;
                     }
                     encode_utf8(cp, out);
-                }
+                }  // malformed escape: drop it, keep the row
                 break;
             }
             default: out += raw[i];
@@ -221,7 +255,10 @@ void extract_texts(const std::string& line, std::vector<std::string>& texts) {
     for (const char* key : {"query", "positive", "negative"}) {
         if (find_string_value(line, key, 0, raw, nullptr)) {
             decode_json_string(raw, decoded);
-            texts.push_back(decoded);
+            // parity with the Python reference (utils/idf.py
+            // triplet_texts): empty fields are not documents — counting
+            // them inflates N and shifts EVERY idf value
+            if (!decoded.empty()) texts.push_back(decoded);
         }
     }
     // "negatives": [ "...", "..." ]
@@ -240,7 +277,7 @@ void extract_texts(const std::string& line, std::vector<std::string>& texts) {
                         ++i;
                     }
                     decode_json_string(line.substr(start, i - start), decoded);
-                    texts.push_back(decoded);
+                    if (!decoded.empty()) texts.push_back(decoded);
                 }
                 ++i;
             }
@@ -273,17 +310,14 @@ int main(int argc, char** argv) {
     wp.load(vocab_path);
     const size_t V = 50000 > wp.vocab.size() ? 50000 : wp.vocab.size();
 
-    // Read all lines (docs = one text each; a triplet row contributes its
-    // query/positive/negative(s) as separate documents, matching the
-    // reference's per-text doc-frequency counting).
+    // Stream shards in bounded batches (docs = one text each; a triplet
+    // row contributes its query/positive/negative(s) as separate
+    // documents, matching the reference's per-text counting). Memory is
+    // O(batch), not O(corpus): buffering every line of a 10M-doc corpus
+    // (tens of GB of JSONL) OOMed the host before tokenization started.
+    constexpr size_t kBatchLines = 200000;
     std::vector<std::string> lines;
-    for (const auto& fp : files) {
-        std::ifstream f(fp);
-        if (!f) { std::cerr << "cannot open " << fp << "\n"; return 2; }
-        std::string line;
-        while (std::getline(f, line))
-            if (!line.empty()) lines.push_back(std::move(line));
-    }
+    lines.reserve(kBatchLines);
 
     std::atomic<size_t> next_line{0};
     std::atomic<uint64_t> num_docs{0};
@@ -316,9 +350,23 @@ int main(int argc, char** argv) {
         num_docs += local_docs;
     };
 
-    std::vector<std::thread> pool;
-    for (int t = 0; t < std::max(threads, 1); ++t) pool.emplace_back(worker);
-    for (auto& t : pool) t.join();
+    auto run_batch = [&]() {
+        next_line.store(0);
+        std::vector<std::thread> pool;
+        for (int t = 0; t < std::max(threads, 1); ++t) pool.emplace_back(worker);
+        for (auto& t : pool) t.join();
+        lines.clear();
+    };
+    for (const auto& fp : files) {
+        std::ifstream f(fp);
+        if (!f) { std::cerr << "cannot open " << fp << "\n"; return 2; }
+        std::string line;
+        while (std::getline(f, line)) {
+            if (!line.empty()) lines.push_back(std::move(line));
+            if (lines.size() >= kBatchLines) run_batch();
+        }
+    }
+    if (!lines.empty()) run_batch();
 
     const double N = (double)num_docs.load();
     std::vector<float> idf(V, 0.f);

@@ -197,16 +197,30 @@ int http_post(const Url& u, const std::string& path, const osi::SignedRequest& s
 // The real HTTP status is captured through a temp file: curl exits 0 even on
 // 4xx/5xx, so trusting the exit code alone would report rejected batches
 // (e.g. 403 on expired credentials) as sent.
+// popen runs a shell: single-quote every interpolated value and refuse
+// values containing a quote (an endpoint or session token like
+// "https://h/'; rm -rf ~;'" would otherwise execute arbitrary commands).
+std::string shell_quote(const std::string& v, bool* ok) {
+  if (v.find('\'') != std::string::npos) { *ok = false; return ""; }
+  return "'" + v + "'";
+}
+
 int https_post_via_curl(const std::string& url, const osi::SignedRequest& sig,
                         const std::string& body) {
   char tmpl[] = "/tmp/osi-status-XXXXXX";
   int tmpfd = mkstemp(tmpl);
   if (tmpfd < 0) return -1;
   close(tmpfd);
+  bool q_ok = true;
   std::string cmd = "curl -s -o /dev/null -w '%{http_code}' -X POST --max-time 30";
   for (const auto& [k, v] : sig.headers)
-    if (k != "host") cmd += " -H '" + k + ": " + v + "'";
-  cmd += " --data-binary @- '" + url + "' > " + tmpl;
+    if (k != "host") cmd += " -H " + shell_quote(k + ": " + v, &q_ok);
+  cmd += " --data-binary @- " + shell_quote(url, &q_ok) + " > " + tmpl;
+  if (!q_ok) {
+    std::fprintf(stderr, "refusing URL/header containing a single quote\n");
+    unlink(tmpl);
+    return -1;
+  }
   FILE* p = popen(cmd.c_str(), "w");
   if (!p) {
     unlink(tmpl);
@@ -295,7 +309,18 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "bad --endpoint %s\n", endpoint.c_str());
     return 2;
   }
-  std::string sign_host = u.host + ((u.scheme == "http" && u.port != "80") ? ":" + u.port : "");
+  // Path resolution, SAME for both schemes: an explicit --path overrides
+  // the endpoint's path; otherwise the endpoint's own path is used. The
+  // https branch used to append --path to the full endpoint (double path,
+  // broken SigV4 canonical request) while http dropped the endpoint path.
+  if (u.path.empty() || u.path == "/") u.path = path;
+  path = u.path;
+  // Host must match what the transport sends: include a non-default port
+  // for BOTH schemes (https on :8443 used to sign a host without the
+  // port while curl sent one with it -> guaranteed 403).
+  bool default_port = (u.scheme == "http" && u.port == "80") ||
+                      (u.scheme == "https" && u.port == "443");
+  std::string sign_host = u.host + (default_port ? "" : ":" + u.port);
 
   std::signal(SIGINT, on_signal);
   std::signal(SIGTERM, on_signal);
@@ -323,7 +348,7 @@ int main(int argc, char** argv) {
     int status;
     std::string resp;
     if (u.scheme == "https")
-      status = https_post_via_curl(endpoint + path, sig, body);
+      status = https_post_via_curl(u.scheme + "://" + sign_host + path, sig, body);
     else
       status = http_post(u, path, sig, body, &resp);
 

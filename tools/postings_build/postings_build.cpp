@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <functional>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -27,7 +28,12 @@ struct Posting {
 };
 
 inline bool impact_greater(const Posting& a, const Posting& b) {
-  if (a.val != b.val) return a.val > b.val;
+  // NaN-safe strict weak ordering: a NaN impact (diverged checkpoint)
+  // must sort deterministically LAST — the naive a.val > b.val comparator
+  // is not transitive under NaN and makes std::sort/nth_element UB.
+  const bool an = std::isnan(a.val), bn = std::isnan(b.val);
+  if (an != bn) return bn;            // non-NaN before NaN
+  if (!an && a.val != b.val) return a.val > b.val;
   return a.doc < b.doc;  // deterministic tie-break
 }
 
