@@ -107,14 +107,23 @@ class TripletCollator:
         them; rows short of k neg scores repeat the last one.
         """
         k = self.num_hard_negatives
-        if not all("teacher_pos_score" in it for it in batch):
+
+        def complete(it) -> bool:
+            # require the NEGATIVE side too: a row with only a pos score
+            # would get a fabricated 0.0 neg score and train MarginMSE
+            # toward a made-up (pos - 0.0) margin
+            return ("teacher_pos_score" in it
+                    and (it.get("teacher_neg_scores")
+                         or it.get("teacher_neg_score") is not None))
+
+        if not all(complete(it) for it in batch):
             return None, None
         pos = np.asarray([float(it["teacher_pos_score"]) for it in batch], np.float32)
         negs = np.zeros((len(batch), k), np.float32)
         for i, it in enumerate(batch):
             raw = it.get("teacher_neg_scores")
             if raw is None:
-                raw = [it.get("teacher_neg_score", 0.0)]
+                raw = [it["teacher_neg_score"]]
             raw = [float(x) for x in (raw if isinstance(raw, list) else [raw])]
             while len(raw) < k:
                 raw.append(raw[-1] if raw else 0.0)

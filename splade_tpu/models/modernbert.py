@@ -294,6 +294,15 @@ class ModernBertForMaskedLM(nn.Module):
                       else ModernBertLayer)
         self.layer0 = layer0_cls(cfg, 0, name="layer0")
         n_rest = cfg.num_hidden_layers - 1
+        if cfg.num_hidden_layers > 1 and cfg.global_attn_every_n_layers != 3:
+            # the scanned block hardcodes [local, local, global]; silently
+            # applying it to a checkpoint with a different cadence would
+            # put the wrong attention pattern on most layers
+            raise ValueError(
+                f"global_attn_every_n_layers="
+                f"{cfg.global_attn_every_n_layers} is not supported: the "
+                "layer stack is built as [local, local, global] blocks "
+                "(cadence 3, matching skt/A.X-Encoder-base)")
         self.num_blocks = n_rest // 3
         if self.num_blocks:
             block_cls = (nn.remat(ModernBertBlock, prevent_cse=False, **remat_kw)

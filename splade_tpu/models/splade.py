@@ -21,13 +21,16 @@ class SpladeEncoder(nn.Module):
     """SPLADE-max model over a ModernBERT MLM backbone.
 
     pool_impl:
-        'streamed' — fused projection+max, never materializes [B, S, V]
-                     (the TPU path; default).
+        'streamed' — XLA vocab-tile projection+max, never materializes
+                     [B, S, V] (the measured-fastest TPU path; default —
+                     docs/TRAIN_VARIANTS.json).
+        'pallas'   — hand-fused Pallas kernel (custom VJP; measured ~6%
+                     slower than 'streamed' on v5e).
         'logits'   — reference-shaped full-logits path (parity/debug).
     """
 
     config: ModernBertConfig
-    pool_impl: str = "pallas"
+    pool_impl: str = "streamed"
     pool_tile: int = 6250
     pallas_tile_v: int = 512
     with_token_weights: bool = True

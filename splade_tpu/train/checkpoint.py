@@ -33,6 +33,7 @@ from flax import serialization
 logger = logging.getLogger(__name__)
 
 _pending_writes: list = []  # async writer threads still in flight
+_pending_errors: list = []  # exceptions raised inside async writers
 
 
 def _to_host(tree: Any) -> Any:
@@ -99,7 +100,15 @@ def save_checkpoint(
                     " (async)" if async_write else "")
 
     if async_write:
-        t = threading.Thread(target=write, name=f"ckpt-write-{step}", daemon=False)
+        def guarded() -> None:
+            try:
+                write()
+            except BaseException as e:  # noqa: BLE001 — surface at join
+                _pending_errors.append(e)
+                logger.exception("async checkpoint write failed")
+
+        t = threading.Thread(target=guarded, name=f"ckpt-write-{step}",
+                             daemon=False)
         _pending_writes.append(t)
         t.start()
     else:
@@ -108,9 +117,18 @@ def save_checkpoint(
 
 
 def wait_for_pending_saves() -> None:
-    """Join in-flight async checkpoint writers (call before process exit)."""
+    """Join in-flight async checkpoint writers (call before process exit).
+
+    Raises the first writer failure: a serialization/disk error (ENOSPC)
+    swallowed in the thread would otherwise let the run exit 0 with the
+    checkpoint silently missing — discovered only when --resume finds
+    nothing after a preemption."""
     while _pending_writes:
         _pending_writes.pop().join()
+    if _pending_errors:
+        err = _pending_errors[0]
+        _pending_errors.clear()
+        raise RuntimeError("async checkpoint write failed") from err
 
 
 def save_final_model(output_dir: str, params, tokenizer=None) -> str:

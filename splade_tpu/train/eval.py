@@ -48,9 +48,14 @@ class MidTrainingEvaluator:
                     docs.append(n)
         self.queries, self.docs, self.qrels = queries, docs, qrels
         self._encode = None
+        self._encode_model = None
 
     def _encode_texts(self, model, params, texts: List[str], is_query: bool) -> np.ndarray:
-        if self._encode is None:
+        if self._encode is None or self._encode_model is not model:
+            # re-jit when a DIFFERENT model object arrives: the closure
+            # captures `model`, so caching only the jit would silently
+            # keep encoding with the first model ever passed
+            self._encode_model = model
             self._encode = jax.jit(
                 lambda p, ids, m: model.apply({"params": p}, ids, m)[0])
         max_len = (self.collator.query_max_length if is_query

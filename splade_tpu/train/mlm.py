@@ -417,10 +417,19 @@ class MLMTrainer:
         B = self.cfg.batch_size
         losses, accs = [], []
         rng = jax.random.PRNGKey(0)
-        for i in range(0, max(len(self.val_rows) - B + 1, 1), B):
+        n_val = len(self.val_rows)
+        if n_val < B:
+            # a held-out set smaller than one batch would silently never
+            # evaluate (the rows were still carved out of training!) —
+            # run it as one small batch instead; the one extra compile
+            # shape is paid once per run at eval cadence
+            loss, m = self.eval_loss_fn(
+                self.state.params,
+                {"input_ids": jnp.asarray(self.val_rows)}, rng)
+            losses.append(float(loss))
+            accs.append(float(m["mlm_acc"]))
+        for i in range(0, n_val - B + 1, B):
             chunk = self.val_rows[i:i + B]
-            if len(chunk) < B:  # static shapes: drop the ragged tail
-                break
             loss, m = self.eval_loss_fn(
                 self.state.params, {"input_ids": jnp.asarray(chunk)}, rng)
             losses.append(float(loss))

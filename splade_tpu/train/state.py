@@ -28,9 +28,10 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
-def no_decay_mask(params: Any) -> Any:
-    """True where weight decay applies: everything except LayerNorm scales,
-    biases, and the decoder bias (reference: train_v33_ddp.py:560-581)."""
+def decay_mask(params: Any) -> Any:
+    """True where weight decay APPLIES: everything except LayerNorm scales,
+    biases, and the decoder bias (reference: train_v33_ddp.py:560-581).
+    This is optax.adamw's mask convention (decay where True)."""
 
     def decide(path, _):
         names = {getattr(k, "key", getattr(k, "name", "")) for k in path}
@@ -39,6 +40,11 @@ def no_decay_mask(params: Any) -> Any:
         )
 
     return jax.tree_util.tree_map_with_path(decide, params)
+
+
+# The old name read as "True where decay is SKIPPED" — the inverse of what
+# the function returns. Kept as an alias for existing callers.
+no_decay_mask = decay_mask
 
 
 def warmup_cosine_schedule(
@@ -64,7 +70,7 @@ def create_optimizer(
             learning_rate=sched,
             b1=0.9, b2=0.999, eps=1e-8,
             weight_decay=cfg.weight_decay,
-            mask=no_decay_mask,
+            mask=decay_mask,
         ),
     )
     return tx, sched

@@ -52,7 +52,20 @@ def stack_microbatches(micro_batches: List[Dict[str, Any]]) -> Dict[str, np.ndar
     positions are masked out of every reduction)."""
     out = {}
     for k in TENSOR_KEYS:
-        if k not in micro_batches[0]:
+        present = [k in mb for mb in micro_batches]
+        if not any(present):
+            continue
+        if not all(present):
+            # teacher-score keys appear only when a micro-batch's EVERY row
+            # carries complete scores; with mixed datasets one macro group
+            # can have them in some micros and not others — indexing
+            # micro_batches[0] alone used to KeyError mid-epoch (or flip
+            # the jit pytree structure). Drop the key for this macro step:
+            # partially-labeled KD for one step is worse than none.
+            logger.warning(
+                "dropping %s for this step: present in %d/%d micro-batches "
+                "(dataset mixes teacher-scored and unscored rows)",
+                k, sum(present), len(micro_batches))
             continue
         arrs = [np.asarray(mb[k]) for mb in micro_batches]
         if arrs[0].ndim == 2 and len({a.shape[1] for a in arrs}) > 1:

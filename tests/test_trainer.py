@@ -19,7 +19,7 @@ from splade_tpu.train.checkpoint import (
     load_checkpoint,
     save_checkpoint,
 )
-from splade_tpu.train.state import create_train_state, no_decay_mask
+from splade_tpu.train.state import create_train_state, decay_mask
 from splade_tpu.train.trainer import Trainer, make_train_step, stack_microbatches
 from splade_tpu.train.eval import MidTrainingEvaluator
 from splade_tpu.data.collator import TripletCollator
@@ -167,9 +167,9 @@ def test_per_device_negatives_match_reference_ddp_semantics(setup):
     assert float(m1["infonce"]) > float(m8["infonce"])
 
 
-def test_no_decay_mask_structure(setup):
+def test_decay_mask_structure(setup):
     model, cfg, mesh, state, _ = setup
-    mask = no_decay_mask(state.params)
+    mask = decay_mask(state.params)
     flat = jax.tree_util.tree_flatten_with_path(mask)[0]
     decayed = {jax.tree_util.keystr(p): v for p, v in flat}
     assert any("Wqkv" in k and v for k, v in decayed.items())
