@@ -213,6 +213,10 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
         print(f"P={P}: build {build_s:.0f}s "
               f"(truncated {index.truncated_postings})", flush=True)
 
+        # Warmup (compile) on a small slice so search_s/QPS reflect the
+        # steady state, not trace+compile (VERDICT r2 #2: persist QPS at
+        # the honest operating point).
+        index.search_topk(q_idx[:8], q_val[:8], k=args.k)
         t0 = time.time()
         got = index.search_topk(q_idx, q_val, k=args.k)
         search_s = time.time() - t0
@@ -237,6 +241,8 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
                                    / max(index.nnz, 1), 2),
             "recall": round(recall, 4),
             "build_s": round(build_s, 1),
+            "search_s": round(search_s, 2),
+            "qps": round(args.queries / max(search_s, 1e-9), 1),
             "total_s": round(time.time() - t_all, 1),
         }
         key = args.key if len(p_values) == 1 else f"{args.key}_p{P}"

@@ -79,18 +79,38 @@ class BenchmarkRunner:
         if not self._encoded:
             raise RuntimeError("run setup() before save_encodings()")
         doc_ids, vecs = self._encoded
+        # lens + concat with fixed dtypes (same layout as postings save()):
+        # the archive must load with allow_pickle=False — an object array
+        # would make --encodings-cache files a pickle-execution vector
+        lens = np.fromiter((len(i) for i, _ in vecs), np.int64,
+                           count=len(vecs))
         np.savez_compressed(
             path,
-            doc_ids=np.asarray(doc_ids, dtype=object),
-            indices=np.asarray([i for i, _ in vecs], dtype=object),
-            values=np.asarray([v for _, v in vecs], dtype=object),
+            doc_ids=np.asarray(doc_ids, dtype=np.str_),
+            lens=lens,
+            indices=(np.concatenate([np.asarray(i) for i, _ in vecs])
+                     if len(vecs) else np.zeros(0, np.int32)),
+            values=(np.concatenate([np.asarray(v) for _, v in vecs])
+                    if len(vecs) else np.zeros(0, np.float32)),
             fingerprint=np.asarray(self._encoder_fingerprint()))
         logger.info("saved encodings -> %s", path)
 
     def load_encodings(self, path: str) -> None:
         import numpy as np
 
-        z = np.load(path, allow_pickle=True)
+        try:
+            z = np.load(path, allow_pickle=False)
+        except ValueError as e:
+            if "pickle" in str(e).lower():
+                # legacy object-array cache: loading it would need
+                # allow_pickle=True (arbitrary code execution from an
+                # untrusted file) — it is only a cache, so re-encode
+                logger.warning(
+                    "ignoring legacy pickled encodings cache %s — the "
+                    "corpus will re-encode and overwrite it with the "
+                    "pickle-free format", path)
+                return
+            raise
         fp = str(z["fingerprint"]) if "fingerprint" in z.files else ""
         want = self._encoder_fingerprint()
         if fp != want:
@@ -100,8 +120,10 @@ class BenchmarkRunner:
                 "--checkpoint to reuse it (the corpus will re-encode)",
                 path, fp or "<unfingerprinted legacy cache>", want)
             return
-        self._encoded = (list(z["doc_ids"]),
-                         list(zip(z["indices"], z["values"])))
+        bounds = np.cumsum(z["lens"])[:-1]
+        self._encoded = ([str(d) for d in z["doc_ids"]],
+                         list(zip(np.split(z["indices"], bounds),
+                                  np.split(z["values"], bounds))))
         logger.info("loaded %d encoded docs from %s",
                     len(self._encoded[0]), path)
 
@@ -113,9 +135,15 @@ class BenchmarkRunner:
         benchmark wall-clock several-fold for identical vectors. Latency
         percentiles still reflect real work: the first (non-hybrid) method
         that uses an encoder pays the encode; hybrids reuse it, which
-        mirrors how a production fusion service would share one encode."""
+        mirrors how a production fusion service would share one encode.
+
+        The cache lives on the encoder as ``_query_cache`` and setup()
+        CLEARS it every call: an encoder reused after its params change
+        (in-process re-benchmark after training) must never serve stale
+        vectors."""
         fn = getattr(encoder, method_name)
         cache: Dict[str, object] = {}
+        encoder._query_cache = cache
 
         def wrapped(query):
             if query not in cache:
@@ -127,26 +155,34 @@ class BenchmarkRunner:
     def setup(self) -> None:
         """Build all indexes from the corpus (reference: runner setup +
         _index_documents)."""
-        if self.sparse_encoder is not None and not getattr(
-                self.sparse_encoder, "_query_memoized", False):
-            self._memoize_query_encodes(self.sparse_encoder, "encode_for_query")
-            self.sparse_encoder._query_memoized = True
+        if self.sparse_encoder is not None:
+            if getattr(self.sparse_encoder, "_query_memoized", False):
+                self.sparse_encoder._query_cache.clear()
+            else:
+                self._memoize_query_encodes(self.sparse_encoder,
+                                            "encode_for_query")
+                self.sparse_encoder._query_memoized = True
         import numpy as np
 
         for enc in (self.dense_encoder, self.external_dense_encoder):
-            if enc is not None and not getattr(enc, "_query_memoized", False):
-                fn = enc.encode
-                cache: Dict[str, object] = {}
+            if enc is None:
+                continue
+            if getattr(enc, "_query_memoized", False):
+                enc._query_cache.clear()
+                continue
+            fn = enc.encode
+            cache: Dict[str, object] = {}
+            enc._query_cache = cache
 
-                def one(q, _fn=fn, _c=cache):
-                    if q not in _c:
-                        _c[q] = _fn([q])[0]
-                    return _c[q]
+            def one(q, _fn=fn, _c=cache):
+                if q not in _c:
+                    _c[q] = _fn([q])[0]
+                return _c[q]
 
-                enc.encode = (lambda texts, _fn=fn, _one=one:
-                              np.asarray([_one(t) for t in texts])
-                              if len(texts) == 1 else _fn(texts))
-                enc._query_memoized = True
+            enc.encode = (lambda texts, _fn=fn, _one=one:
+                          np.asarray([_one(t) for t in texts])
+                          if len(texts) == 1 else _fn(texts))
+            enc._query_memoized = True
         doc_ids = list(self.data.corpus.keys())
         texts = [self.data.corpus[d] for d in doc_ids]
         t0 = time.time()

@@ -121,9 +121,10 @@ class TripletCollator:
         pos = np.asarray([float(it["teacher_pos_score"]) for it in batch], np.float32)
         negs = np.zeros((len(batch), k), np.float32)
         for i, it in enumerate(batch):
-            raw = it.get("teacher_neg_scores")
-            if raw is None:
-                raw = [it["teacher_neg_score"]]
+            # mirror complete()'s gate exactly: an EMPTY teacher_neg_scores
+            # list falls through to the scalar teacher_neg_score, never to
+            # a fabricated 0.0 padding score
+            raw = it.get("teacher_neg_scores") or it.get("teacher_neg_score")
             raw = [float(x) for x in (raw if isinstance(raw, list) else [raw])]
             while len(raw) < k:
                 raw.append(raw[-1] if raw else 0.0)

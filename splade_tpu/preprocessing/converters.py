@@ -74,20 +74,36 @@ class QAConverter(BaseConverter):
 class STSConverter(BaseConverter):
     task = "sts"
 
+    #: autodetect only trusts a batch this large — a smaller all-low-score
+    #: shard of a genuine 0-5 dataset must not be mistaken for normalized
+    MIN_AUTODETECT_SAMPLES = 20
+
     def __init__(self, pos_threshold: float = 4.0, neg_threshold: float = 1.5,
-                 scale: float = 5.0):
-        """Thresholds are on KorSTS's native 0-5 scale; datasets delivering
-        normalized 0-1 similarity are rescaled by ``scale`` (detected by
-        every score being <= 1)."""
+                 scale: float = 5.0, normalized: bool | None = None):
+        """Thresholds are on KorSTS's native 0-5 scale. ``normalized``
+        states explicitly whether scores arrive 0-1 (rescaled by ``scale``)
+        — pass it from the dataset spec when known. ``None`` autodetects,
+        but conservatively: it needs >= MIN_AUTODETECT_SAMPLES rows, max
+        <= 1, AND at least one fractional score strictly inside (0, 1) —
+        a small or integer-scored batch of a genuine 0-5 dataset (e.g. an
+        all-dissimilar shard) is NOT rescaled."""
         self.pos_threshold = pos_threshold
         self.neg_threshold = neg_threshold
         self.scale = scale
+        self.normalized = normalized
+
+    def _is_normalized(self, raw: List[float]) -> bool:
+        if self.normalized is not None:
+            return self.normalized
+        return (len(raw) >= self.MIN_AUTODETECT_SAMPLES
+                and max(raw) <= 1.0
+                and any(0.0 < x < 1.0 for x in raw))
 
     def convert(self, samples: List[RawSample]) -> List[Triplet]:
         pos_pairs, neg_texts = [], []
         src = samples[0].source if samples else ""
         raw = [float(s.fields.get("score", 0.0)) for s in samples]
-        normalized = bool(raw) and max(raw) <= 1.0
+        normalized = bool(raw) and self._is_normalized(raw)
         for s, score in zip(samples, raw):
             f = s.fields
             if normalized:

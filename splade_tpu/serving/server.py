@@ -101,6 +101,11 @@ def make_handler(service: SearchService):
             self.send_response(code)
             self.send_header("Content-Type", "application/json; charset=utf-8")
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # tell the client explicitly (handlers set close_connection
+                # when the request body was left unread, e.g. the 413 path
+                # — a keep-alive client must not reuse the desynced stream)
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -119,6 +124,10 @@ def make_handler(service: SearchService):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if n > self.MAX_BODY_BYTES:
+                    # the body is left UNREAD: on a keep-alive connection
+                    # its bytes would be parsed as the next request line —
+                    # close instead of desyncing the stream
+                    self.close_connection = True
                     return self._reply(413, {
                         "error": f"body {n} bytes exceeds "
                                  f"{self.MAX_BODY_BYTES} limit"})

@@ -100,6 +100,19 @@ def test_collator_multi_neg_padding_semantics(jsonl_dir):
     np.testing.assert_allclose(out["teacher_neg_scores"][0], [0.3, 0.2, 0.1])
 
 
+def test_collator_empty_neg_scores_list_uses_scalar():
+    """A row with teacher_neg_scores=[] plus a scalar teacher_neg_score
+    passes the completeness gate AND pads from the scalar — never from a
+    fabricated 0.0 (advisor r2: the gate treated [] as falsy but the
+    scoring loop only checked None)."""
+    col = TripletCollator(FakeTokenizer(), query_max_length=4,
+                          doc_max_length=8, num_hard_negatives=2)
+    out = col([{"query": "q", "positive": "p", "negative": "n",
+                "teacher_pos_score": 0.9, "teacher_neg_scores": [],
+                "teacher_neg_score": 0.4}])
+    np.testing.assert_allclose(out["teacher_neg_scores"][0], [0.4, 0.4])
+
+
 def test_collator_no_neg_falls_back_to_positive():
     col = TripletCollator(FakeTokenizer(), query_max_length=4, doc_max_length=8)
     out = col([{"query": "q", "positive": "pos-text"}])

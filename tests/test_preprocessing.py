@@ -81,6 +81,31 @@ class TestConverters:
         assert len(out) == 1
         assert (out[0].query, out[0].positive, out[0].negative) == ("A", "B", "D")
 
+    def test_sts_scale_autodetect_guards(self):
+        from splade_tpu.preprocessing.converters import STSConverter
+
+        def mk(scores):
+            return [RawSample("t", "sts",
+                              {"sentence1": f"A{i}", "sentence2": f"B{i}",
+                               "score": s})
+                    for i, s in enumerate(scores)]
+
+        # a SMALL all-low batch of a genuine 0-5 dataset (all-dissimilar
+        # shard) must NOT be rescaled into positives
+        small_low = mk([1.0, 0.0, 1.0])
+        assert STSConverter().convert(small_low) == []
+        # nor a large batch whose scores are all integers 0/1 (no
+        # fractional evidence of a normalized scale)
+        int_low = mk([1.0, 0.0] * 15)
+        assert STSConverter().convert(int_low) == []
+        # a real normalized batch (large, fractional) IS rescaled
+        norm = mk([0.95, 0.1, 0.9] * 10)
+        out = STSConverter().convert(norm)
+        assert len(out) == 20  # 0.95 and 0.9 -> 4.75/4.5 >= 4.0
+        # explicit flag overrides autodetect in both directions
+        assert STSConverter(normalized=True).convert(small_low) != []
+        assert STSConverter(normalized=False).convert(norm) == []
+
     def test_classification_pairs_same_label(self):
         samples = [RawSample("t", "classification", {"text": f"t{lab}{i}", "label": lab})
                    for lab in ("x", "y") for i in range(3)]

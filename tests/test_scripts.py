@@ -52,6 +52,63 @@ def test_parity_rehearsal_tiny(tmp_path):
     assert summary["synthetic_weights"] is True
 
 
+class TestBenchSupervisor:
+    """bench.py self-supervises: the measurement runs in a child process
+    with a hard timeout and bounded retries, because the observed tunnel
+    failure modes are BOTH an init error (BENCH_r02.json rc=1) and an
+    indefinite hang (train/preemption.py HangWatchdog) — neither is
+    recoverable from inside the process that touched the backend."""
+
+    def _patch(self, monkeypatch, runs):
+        import bench
+
+        calls = {"n": 0}
+
+        def fake_run(cmd, **kw):
+            # the child must be re-exec'd with --run (not recurse into
+            # the supervisor)
+            assert cmd[-1] == "--run" and kw.get("timeout", 0) > 0
+            calls["n"] += 1
+            out = runs[min(calls["n"] - 1, len(runs) - 1)]
+            if out == "timeout":
+                raise subprocess.TimeoutExpired(cmd, kw["timeout"])
+            rc, stdout = out
+            import types
+
+            return types.SimpleNamespace(returncode=rc, stdout=stdout,
+                                         stderr="")
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        monkeypatch.setattr(bench, "BACKOFFS_S", (0.0, 0.0, 0.0))
+        return calls
+
+    GOOD = '{"metric": "m", "value": 151.7, "unit": "u", "vs_baseline": 1.6}'
+
+    def test_retries_init_failure_then_relays_json(self, monkeypatch, capsys):
+        import bench
+
+        calls = self._patch(monkeypatch, [
+            (1, ""), "timeout", (0, "compile log noise\n" + self.GOOD + "\n")])
+        assert bench.supervise() == 0
+        assert calls["n"] == 3
+        out = capsys.readouterr().out.strip().splitlines()
+        assert json.loads(out[-1])["value"] == 151.7
+
+    def test_rc0_without_json_line_still_retries(self, monkeypatch):
+        import bench
+
+        calls = self._patch(monkeypatch, [(0, "no json here\n"),
+                                          (0, self.GOOD)])
+        assert bench.supervise() == 0
+        assert calls["n"] == 2
+
+    def test_exhaustion_returns_nonzero(self, monkeypatch):
+        import bench
+
+        calls = self._patch(monkeypatch, [(1, "")])
+        assert bench.supervise() == 1
+        assert calls["n"] == bench.ATTEMPTS
+
+
 def test_collect_term_data_runs(tmp_path):
     out = tmp_path / "terms.jsonl"
     r = subprocess.run([sys.executable, "scripts/collect_term_data.py",

@@ -284,6 +284,23 @@ def test_server_bounds_oversized_requests(http_server):
     assert code == 413
 
 
+def test_server_oversized_body_closes_connection(http_server):
+    """The Content-Length 413 replies WITHOUT reading the body; on a
+    keep-alive connection the unread bytes would desync the next request
+    (advisor r2) — the reply must carry Connection: close."""
+    conn = http.client.HTTPConnection(*http_server, timeout=30)
+    conn.putrequest("POST", "/search")
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length", str(128 << 20))  # > MAX_BODY_BYTES
+    conn.endheaders()
+    # send only a fragment of the declared body, as a client might
+    conn.send(b'{"queries": ["q"]}')
+    resp = conn.getresponse()
+    assert resp.status == 413
+    assert resp.getheader("Connection", "").lower() == "close"
+    conn.close()
+
+
 def test_postings_engine_survives_index_mutation():
     """Adding documents after engine construction must not crash or serve a
     stale doc count (code-review finding: _built unpacking of None)."""
