@@ -93,7 +93,12 @@ class V33DataConfig:
     instead of always max_length — the static-shape counterpart of the
     reference's dynamic padding. Empty = always pad to max."""
     prefetch_depth: int = 2
-    """Host->device prefetch depth for the input pipeline."""
+    """Host-side collation prefetch depth for the input pipeline."""
+    device_prefetch_depth: int = 2
+    """H2D double-buffering: device_put the next N macro batches from a
+    background thread while the current step computes (0 disables). This
+    is what closes the e2e-vs-pure-step throughput gap on high-RTT
+    transports (docs/TRAINING_DYNAMICS.md)."""
 
 
 @dataclass

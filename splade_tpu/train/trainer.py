@@ -75,6 +75,79 @@ def stack_microbatches(micro_batches: List[Dict[str, Any]]) -> Dict[str, np.ndar
     return out
 
 
+class DevicePrefetcher:
+    """Background-thread H2D pipeline: ``device_put`` batch N+1..N+depth
+    while step N computes.
+
+    The host data pipeline is ~5x faster than the device step
+    (769 t/s vs 151.7, docs/TRAINING_DYNAMICS.md), yet e2e throughput ran
+    25% below the pure step rate: with numpy batches the H2D transfer
+    happens at dispatch time, on the loop thread, serialized against the
+    previous step through the (high-RTT tunnel) transport. Issuing the
+    transfer from a worker thread overlaps it with device compute —
+    the XLA async dispatch equivalent of the reference DataLoader's
+    pin_memory+non_blocking prefetch (reference:
+    src/train/data/dataloader.py:167-240).
+
+    ``transfer`` maps a host batch to device arrays (e.g. device_put with
+    a sharding); exceptions propagate to the consumer. close() unblocks
+    and joins the worker without draining the source iterator.
+    """
+
+    _END = object()
+
+    def __init__(self, batches: Iterable, transfer, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._stop = threading.Event()
+        self._queue_mod = queue
+
+        def worker():
+            try:
+                for b in batches:
+                    item = ("ok", transfer(b))
+                    if not self._put(item):
+                        return
+                self._put(("end", None))
+            except BaseException as e:  # noqa: BLE001 - relayed to consumer
+                self._put(("err", e))
+
+        self._thread = threading.Thread(target=worker, daemon=True,
+                                        name="device-prefetch")
+        self._thread.start()
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except self._queue_mod.Full:
+                continue
+        return False
+
+    def __iter__(self):
+        while True:
+            kind, val = self._q.get()
+            if kind == "ok":
+                yield val
+            elif kind == "end":
+                return
+            else:
+                raise val
+
+    def close(self) -> None:
+        """Stop the worker (consumer exited early: preemption/max_steps)."""
+        self._stop.set()
+        while True:  # drain so a blocked put() observes the stop flag
+            try:
+                self._q.get_nowait()
+            except self._queue_mod.Empty:
+                break
+        self._thread.join(timeout=10.0)
+
+
 def make_loss_fn(model, loss_cfg, num_blocks: int, packed_query: bool = False):
     def loss_fn(params, micro: Dict[str, jnp.ndarray], step: jnp.ndarray):
         B, Sq = micro["query_input_ids"].shape
@@ -274,7 +347,11 @@ class Trainer:
         slice as the whole batch (dropping data) — assemble the global
         array from per-process shards instead."""
         if self.batch_sharding is None:
-            return macro
+            # plain placement (a NamedSharding here would route the jit
+            # through the SPMD partitioner — ~10x slower on 1 device);
+            # explicit device_put so the prefetch thread, not the dispatch
+            # path, pays the transfer
+            return jax.device_put(macro)
         if jax.process_count() > 1:
             return jax.tree_util.tree_map(
                 lambda x: jax.make_array_from_process_local_data(
@@ -282,10 +359,7 @@ class Trainer:
         return jax.device_put(macro, self.batch_sharding)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
-        cfg = self.cfg.training
-        last: Dict[str, float] = {}
         t0 = time.time()
-        samples = 0
         # Exact mid-epoch resume: the loader order is a pure function of
         # (seed, epoch) and the step is RNG-free, so skipping the macros
         # already consumed (per the restored step counter) reproduces the
@@ -300,10 +374,30 @@ class Trainer:
         # steps.
         gstep = int(self.state.step)
         done_in_epoch = max(0, gstep - (epoch - 1) * self.steps_per_epoch)
-        for macro in self._macro_batches(epoch, skip_macros=done_in_epoch):
+        macros = self._macro_batches(epoch, skip_macros=done_in_epoch)
+        depth = self.cfg.data.device_prefetch_depth
+        prefetcher = None
+        if depth > 0:
+            prefetcher = DevicePrefetcher(macros, self._shard_batch,
+                                          depth=depth)
+            batches: Iterable = prefetcher
+        else:
+            batches = map(self._shard_batch, macros)
+        try:
+            last = self._run_steps(batches, epoch, gstep, t0)
+        finally:
+            if prefetcher is not None:
+                prefetcher.close()
+        return last
+
+    def _run_steps(self, batches: Iterable, epoch: int, gstep: int,
+                   t0: float) -> Dict[str, float]:
+        cfg = self.cfg.training
+        last: Dict[str, float] = {}
+        samples = 0
+        for device_batch in batches:
             if self._preempted or (cfg.max_steps and gstep >= cfg.max_steps):
                 break
-            device_batch = self._shard_batch(macro)
             params, opt_state, step, metrics = self.step_fn(
                 self.state.params, self.state.opt_state, self.state.step,
                 device_batch)

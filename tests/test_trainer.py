@@ -372,3 +372,78 @@ def test_mid_epoch_resume_is_bitwise_exact(tmp_path):
     f1, _ = ravel_pytree(full_state.params)
     f2, _ = ravel_pytree(res_state.params)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+class TestDevicePrefetcher:
+    """H2D double-buffering (VERDICT r2 #3): transfers happen on a worker
+    thread, order is preserved, errors propagate, early exit never hangs."""
+
+    def test_order_and_transfer_applied(self):
+        from splade_tpu.train.trainer import DevicePrefetcher
+
+        seen = []
+        pf = DevicePrefetcher(iter(range(10)), lambda x: (seen.append(x), x * 2)[1],
+                              depth=2)
+        out = list(pf)
+        assert out == [x * 2 for x in range(10)]
+        assert seen == list(range(10))  # source consumed in order, once
+
+    def test_source_exception_propagates(self):
+        from splade_tpu.train.trainer import DevicePrefetcher
+
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        pf = DevicePrefetcher(gen(), lambda x: x, depth=2)
+        it = iter(pf)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="boom"):
+            next(it)
+
+    def test_transfer_exception_propagates(self):
+        from splade_tpu.train.trainer import DevicePrefetcher
+
+        def bad(x):
+            raise ValueError("transfer failed")
+
+        with pytest.raises(ValueError, match="transfer failed"):
+            list(DevicePrefetcher(iter([1]), bad, depth=2))
+
+    def test_early_close_unblocks_worker(self):
+        from splade_tpu.train.trainer import DevicePrefetcher
+
+        # infinite source; consumer takes 1 item and leaves (preemption)
+        def forever():
+            i = 0
+            while True:
+                yield i
+                i += 1
+
+        pf = DevicePrefetcher(forever(), lambda x: x, depth=2)
+        assert next(iter(pf)) == 0
+        pf.close()
+        assert not pf._thread.is_alive()
+
+    def test_depth_zero_disables_in_trainer(self, tmp_path):
+        # trainer integration both ways: default (prefetch on) is covered
+        # by every other trainer test; this pins the depth=0 fallback
+        cfg = V33Config.from_dict({
+            "data": {"batch_size": 2, "query_max_length": 8,
+                     "doc_max_length": 16, "device_prefetch_depth": 0},
+            "training": {"num_epochs": 1, "gradient_accumulation_steps": 2,
+                         "log_every_n_steps": 1,
+                         "output_dir": str(tmp_path / "run")},
+        })
+        mcfg = ModernBertConfig.tiny()
+        model = SpladeEncoder(mcfg)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
+        data = [{"query": f"q{i}", "positive": f"p{i}", "negative": f"n{i}"}
+                for i in range(64)]  # >= global_batch (2 x 8 devs) x accum 2
+        col = TripletCollator(FakeTokenizer(), query_max_length=8,
+                              doc_max_length=16)
+        tr = Trainer(cfg, model, params, data, col,
+                     output_dir=str(tmp_path / "run"))
+        state = tr.train()
+        assert int(state.step) >= 1
