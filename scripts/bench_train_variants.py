@@ -88,7 +88,7 @@ VARIANTS = {
 
 
 def run_variant(name, micro_b, accum, remat, token_weights, pool_tile,
-                packed=False, attention_impl="sdpa", steps=8):
+                packed=False, attention_impl="sdpa", steps=8, tiny=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -109,10 +109,16 @@ def run_variant(name, micro_b, accum, remat, token_weights, pool_tile,
         "training": {"gradient_accumulation_steps": accum},
         "model": {"packed_query_tower": packed},
     })
-    mcfg = ModernBertConfig(
-        dtype=jnp.bfloat16, remat=bool(remat),
-        remat_policy="dots_no_batch" if remat == "dots" else "full",
-        attention_impl=attention_impl)
+    if tiny:
+        mcfg = ModernBertConfig.tiny(
+            remat=bool(remat),
+            remat_policy="dots_no_batch" if remat == "dots" else "full",
+            attention_impl=attention_impl)
+    else:
+        mcfg = ModernBertConfig(
+            dtype=jnp.bfloat16, remat=bool(remat),
+            remat_policy="dots_no_batch" if remat == "dots" else "full",
+            attention_impl=attention_impl)
     if pool_tile == "pallas":
         model = SpladeEncoder(mcfg, pool_impl="pallas",
                               with_token_weights=token_weights)
@@ -177,7 +183,16 @@ def main() -> int:
                    help="comma-separated variant names (default: all)")
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--out", default="docs/TRAIN_VARIANTS.json")
+    p.add_argument("--tiny", action="store_true",
+                   help="CPU-testable mode: tiny model, 2 timed steps — "
+                        "exercises the variant plumbing and the JSON "
+                        "schema, not the numbers")
     args = p.parse_args()
+    if args.tiny:
+        from splade_tpu.utils.runtime import force_cpu_if_requested
+
+        force_cpu_if_requested()
+        args.steps = min(args.steps, 2)
 
     names = (args.only.split(",") if args.only else list(VARIANTS))
     out_path = Path(args.out)
@@ -187,7 +202,8 @@ def main() -> int:
     for name in names:
         spec = VARIANTS[name]
         try:
-            results[name] = run_variant(name, *spec, steps=args.steps)
+            results[name] = run_variant(name, *spec, steps=args.steps,
+                                        tiny=args.tiny)
         except Exception as e:  # OOM etc. — record and continue
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}

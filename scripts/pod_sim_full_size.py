@@ -1,16 +1,16 @@
 """Production-width pod simulation: one V33 train step on a virtual mesh.
 
 The driver's dryrun_multichip validates the SPMD path on a tiny config;
-this runs the GSPMD train step at PRODUCTION WIDTH — 768 hidden, 50K
-vocab, the dimensions that shape every collective (the [B, 50000]
-global-negatives all_gather, the full-tree grad psum) — on a virtual CPU
-mesh with the packed query tower. Depth and sequence default scaled so
-the whole step's compute fits inside XLA-CPU's 40-second
-collective-rendezvous timeout on this 1-core dev VM; `--layers 22
---devices 16 --seq 256` is the true flagship run for hosts with real
-cores (attempted here: the 16 device threads cannot all reach the
-rendezvous in time on one core — an emulator scheduling limit, not a
-sharding bug). Writes docs/POD_SIM.json.
+this runs the GSPMD train step at FULL FLAGSHIP SIZE — 22 layers, 768
+hidden, 50K vocab, the dimensions that shape every collective (the
+[B, 50000] global-negatives all_gather, the full-tree grad psum) — on a
+virtual CPU mesh with the packed query tower. XLA-CPU terminates
+collectives whose participants don't all arrive within 40s — on a 1-core
+host the 8 device threads' serialized compute at full depth exceeds
+that, so the script raises --xla_cpu_collective_call_*_timeout_seconds
+(a rendezvous watchdog for wedged jobs, not a correctness bound; round-2
+runs that predate this were depth-limited to 4L by it). Results merge
+into docs/POD_SIM.json keyed by (layers, devices).
 
     JAX_PLATFORMS=cpu python scripts/pod_sim_full_size.py [--devices N]
 """
@@ -35,21 +35,22 @@ def main() -> int:
     p.add_argument("--micro-batch", type=int, default=1,
                    help="per-device micro batch (CPU compute is the limit)")
     p.add_argument("--accum", type=int, default=1)
-    p.add_argument("--layers", type=int, default=4,
-                   help="22 = full depth; the default keeps total step "
-                        "compute under XLA-CPU's 40s collective-rendezvous "
-                        "timeout on small hosts (this dev VM has ONE core; "
-                        "width — 768 hidden, 50K vocab, the dims that shape "
-                        "every collective — is always production-size)")
+    p.add_argument("--layers", type=int, default=22,
+                   help="transformer depth (default: full flagship 22)")
     p.add_argument("--seq", type=int, default=64, help="doc seq (query = seq//4)")
     p.add_argument("--out", default="docs/POD_SIM.json")
     args = p.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={args.devices}"
-        ).strip()
+        flags += f" --xla_force_host_platform_device_count={args.devices}"
+    if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+        # XLA-CPU's collective rendezvous watchdog kills the step when the
+        # device threads don't all arrive within 40s — at full depth on a
+        # 1-core host their serialized compute legitimately takes longer
+        flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+                  " --xla_cpu_collective_call_warn_stuck_timeout_seconds=1200")
+    os.environ["XLA_FLAGS"] = flags.strip()
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
     import jax
@@ -127,14 +128,13 @@ def main() -> int:
     step_s = time.time() - t0
 
     results = {
-        "what": ("ONE V33 train step at PRODUCTION WIDTH (768 hidden, 50K "
-                 "vocab — the dims that shape every collective: the [B,V] "
-                 "global-negatives all_gather, the grad psum) on a "
-                 "virtual-device CPU mesh; depth/seq scaled so total step "
-                 "compute fits XLA-CPU's 40s collective-rendezvous timeout "
-                 "on this 1-core host (22L/16-dev was attempted and hits "
-                 "that emulator limit, not a sharding bug — the tiny-config "
-                 "16-dev dryrun and the 8-dev equality tests cover topology)"),
+        "what": ("ONE V33 train step at FULL FLAGSHIP SIZE (22L/768/50K — "
+                 "the dims that shape every collective: the [B,V] "
+                 "global-negatives all_gather, the full-tree grad psum) on "
+                 "a virtual-device CPU mesh; XLA-CPU's 40s collective-"
+                 "rendezvous watchdog is raised because 8 device threads' "
+                 "serialized full-depth compute on this 1-core host "
+                 "legitimately exceeds it"),
         "layers": args.layers,
         "seq": args.seq,
         "devices": args.devices,
@@ -152,7 +152,14 @@ def main() -> int:
     assert results["finite"], results
     assert results["step_int"] == 1
     print(json.dumps(results, indent=2))
-    Path(args.out).write_text(json.dumps(results, indent=2))
+    out = Path(args.out)
+    prior = {}
+    if out.exists():
+        prior = json.loads(out.read_text())
+        if "layers" in prior:  # migrate the old single-entry format
+            prior = {f"{prior['layers']}L_{prior['devices']}dev": prior}
+    prior[f"{args.layers}L_{args.devices}dev"] = results
+    out.write_text(json.dumps(prior, indent=2))
     return 0
 
 

@@ -33,14 +33,18 @@ from pathlib import Path
 import numpy as np
 
 
-def build_encoder(checkpoint: str | None):
+def build_encoder(checkpoint: str | None, tiny: bool = False):
     import jax
     import jax.numpy as jnp
 
     from splade_tpu.models.modernbert import ModernBertConfig
     from splade_tpu.models.splade import SpladeEncoder
 
-    cfg = ModernBertConfig(dtype=jnp.bfloat16)
+    if tiny:
+        cfg = ModernBertConfig.tiny(vocab_size=2048)
+        checkpoint = None
+    else:
+        cfg = ModernBertConfig(dtype=jnp.bfloat16)
     model = SpladeEncoder(cfg, pool_impl="streamed", with_token_weights=False)
     if checkpoint and Path(checkpoint).exists():
         from splade_tpu.train.checkpoint import load_params
@@ -69,10 +73,20 @@ def main() -> int:
     p.add_argument("--query-top-k", type=int, default=33)
     p.add_argument("--doc-len", type=int, default=192)
     p.add_argument("--query-len", type=int, default=64)
+    p.add_argument("--index", default="postings",
+                   choices=["postings", "cluster"],
+                   help="candidate generator: truncated postings two-phase "
+                        "or the cluster-summary union index (VERDICT r2 #2)")
     p.add_argument("--n-postings", default="128",
                    help="comma-separated P values — the encode pass is "
                         "shared, each P gets its own index build + entry")
     p.add_argument("--rescore", type=int, default=200)
+    p.add_argument("--cluster-size", type=int, default=64)
+    p.add_argument("--probes", default="32",
+                   help="comma-separated probe counts (cluster index)")
+    p.add_argument("--posting-cap", type=int, default=64,
+                   help="cluster index union: side-postings cap (0 = off)")
+    p.add_argument("--posting-candidates", type=int, default=128)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--checkpoint", default="/tmp/vrun/final_model",
                    help="trained checkpoint dir (falls back to random init)")
@@ -81,7 +95,21 @@ def main() -> int:
     p.add_argument("--enc-cache", default="",
                    help="npz path caching the encoded doc/query CSR so "
                         "P/C re-runs skip the ~18-min 1M-doc encode pass")
+    p.add_argument("--tiny", action="store_true",
+                   help="CPU-testable mode: tiny random-init encoder, "
+                        "small corpus defaults — exercises the full "
+                        "pipeline and the JSON schema, not the numbers")
     args = p.parse_args()
+    if args.tiny:
+        from splade_tpu.utils.runtime import force_cpu_if_requested
+
+        force_cpu_if_requested()
+        if args.docs == 1_000_000:
+            args.docs = 2000
+        args.queries = min(args.queries, 16)
+        args.batch = min(args.batch, 128)
+        args.doc_top_k = min(args.doc_top_k, 16)
+        args.query_top_k = min(args.query_top_k, 8)
 
     import jax
     import jax.numpy as jnp
@@ -100,7 +128,8 @@ def main() -> int:
                   time.time())
         return 0
 
-    model, params, cfg, weights_src = build_encoder(args.checkpoint)
+    model, params, cfg, weights_src = build_encoder(args.checkpoint,
+                                                    tiny=args.tiny)
     V = cfg.vocab_size
     print(f"encoder weights: {weights_src}", flush=True)
 
@@ -194,23 +223,34 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
     # ---- postings index (two-phase), one build per P over the shared encode
     import jax
 
+    from splade_tpu.ops.cluster_index import TpuClusterIndex
     from splade_tpu.ops.postings_index import TpuPostingsIndex
 
     out = Path(args.out)
     data = json.loads(out.read_text()) if out.exists() else {}
-    p_values = [int(x) for x in str(args.n_postings).split(",")]
-    for P in p_values:
+    if args.index == "cluster":
+        sweep = [int(x) for x in str(args.probes).split(",")]
+    else:
+        sweep = [int(x) for x in str(args.n_postings).split(",")]
+    for P in sweep:
         t0 = time.time()
-        # scoring="auto": sort only in the small-pool regime (T*P<=4096);
-        # at P=512 the [B,T*P] bitonic sort does not finish (see
-        # _sort_crossover_note) and auto falls back to scatter phase 1
-        index = TpuPostingsIndex(
-            V, n_postings=P, query_top_t=args.query_top_k,
-            rescore_candidates=args.rescore, scoring="auto")
+        if args.index == "cluster":
+            index = TpuClusterIndex(
+                V, cluster_size=args.cluster_size, n_probes=P,
+                query_top_t=args.query_top_k, posting_cap=args.posting_cap,
+                posting_candidates=args.posting_candidates)
+        else:
+            # scoring="auto": sort only in the small-pool regime
+            # (T*P<=4096); at P=512 the [B,T*P] bitonic sort does not
+            # finish (see _sort_crossover_note) and auto falls back to
+            # scatter phase 1
+            index = TpuPostingsIndex(
+                V, n_postings=P, query_top_t=args.query_top_k,
+                rescore_candidates=args.rescore, scoring="auto")
         index.add_csr([str(i) for i in range(args.docs)], d_idx, d_val)
         index.build()
         build_s = time.time() - t0
-        print(f"P={P}: build {build_s:.0f}s "
+        print(f"{args.index}={P}: build {build_s:.0f}s "
               f"(truncated {index.truncated_postings})", flush=True)
 
         # Warmup (compile) on a small slice so search_s/QPS reflect the
@@ -226,26 +266,39 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
             have = {d for d, _ in got[qi]}
             recalls.append(len(want & have) / args.k)
         recall = float(np.mean(recalls))
-        print(f"P={P}: two-phase recall@{args.k} vs exact: {recall:.4f} "
+        print(f"{args.index}={P}: recall@{args.k} vs exact: {recall:.4f} "
               f"({args.queries} queries in {search_s:.1f}s)", flush=True)
 
         entry = {
-            "metric": f"postings_recall@{args.k}_vs_exact_encoder_vectors",
+            "metric": f"{args.index}_recall@{args.k}_vs_exact_encoder_vectors",
             "device": str(jax.devices()[0]),
             "weights": weights_src,
             "docs": args.docs, "queries": args.queries,
             "doc_top_k": args.doc_top_k, "query_top_k": args.query_top_k,
             "mean_doc_nnz": round(mean_nnz, 1),
-            "n_postings": P, "rescore_candidates": args.rescore,
-            "truncated_pct": round(100.0 * index.truncated_postings
-                                   / max(index.nnz, 1), 2),
             "recall": round(recall, 4),
             "build_s": round(build_s, 1),
             "search_s": round(search_s, 2),
             "qps": round(args.queries / max(search_s, 1e-9), 1),
             "total_s": round(time.time() - t_all, 1),
         }
-        key = args.key if len(p_values) == 1 else f"{args.key}_p{P}"
+        if args.index == "cluster":
+            entry.update({
+                "cluster_size": args.cluster_size, "n_probes": P,
+                "n_clusters": index.n_clusters,
+                "posting_cap": args.posting_cap,
+                "posting_candidates": args.posting_candidates,
+                "candidate_pool": index.rescore_candidates,
+            })
+            key_sfx = f"probes{P}"
+        else:
+            entry.update({
+                "n_postings": P, "rescore_candidates": args.rescore,
+                "truncated_pct": round(100.0 * index.truncated_postings
+                                       / max(index.nnz, 1), 2),
+            })
+            key_sfx = f"p{P}"
+        key = args.key if len(sweep) == 1 else f"{args.key}_{key_sfx}"
         data[key] = entry
         out.write_text(json.dumps(data, indent=2))
         print(f"wrote {out} [{key}]")

@@ -1,0 +1,345 @@
+"""Cluster-summary sparse index: SEISMIC-style two-level search on TPU.
+
+Why it exists: the truncated-postings index caps each term's list at P
+entries. Real SPLADE vectors concentrate mass on shared hot terms (unlike
+independent Zipf samples), so at 1M docs P-truncation drops 96-98% of
+postings and phase-1 candidate recall collapses (0.666 at P=128/C=200 on
+real encoder vectors — docs/POSTINGS_BENCH.json). Raising P restores
+recall (0.95 at P=1024/C=1000) but pushes phase 1 into the scatter
+regime, whose ~10^8 updates/s on TPU caps QPS well below the 5k/chip
+target.
+
+This index replaces truncated postings with the SEISMIC idea (reference
+methodology: the exact-vs-ANN sweeps of
+scripts/neural_sparse_search_aws.py:1314-1434): group documents into
+small clusters and keep ONE summary vector per cluster — the elementwise
+max over member vectors. Then
+
+    summary_score(q, c) = sum_t q_t * max_{d in c} d_t
+                        >= max_{d in c} score(q, d)
+
+i.e. the summary score UPPER-BOUNDS every member's true score, with NO
+term truncation anywhere, so hot-term mass cannot be lost. Mapped to TPU:
+
+- **Phase 0 (cluster ranking)** is a dense [B, V] x [V, K] matmul on the
+  MXU — the hardware's fastest primitive — followed by top-L. No gather,
+  no scatter, no [B, N] accumulator; cost is independent of how skewed
+  the term distribution is.
+- **Phase 1 (exact rescore)** expands the top-L clusters' members
+  ([B, L*G] candidate ids; each doc lives in exactly one cluster, so no
+  dedup is needed) and re-scores them EXACTLY with the shared doc-major
+  CSR kernel (``exact_rescore``) — final scores are exact, recall is
+  bounded only by cluster coverage.
+
+Clustering is dominant-term grouping: documents sharing their strongest
+activation (SPLADE's most semantically loaded term), sub-sorted by their
+second-strongest, chunked into size-G clusters. O(N log N) host-side,
+no iterative k-means, and cohesive exactly where SPLADE concentrates
+mass. Memory: the [V, K] bf16 summary is ~1.6 GB at 1M docs (G=64) —
+fine single-chip; 10M-doc corpora shard docs over a mesh (per-shard
+clusters), same as MeshShardedPostingsIndex.
+
+CRUD (delta adds, tombstones, compaction), persistence, and the search
+API are inherited from TpuPostingsIndex — only build and the phase-0/1
+kernels differ.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Tuple
+
+import numpy as np
+
+from splade_tpu.ops.postings_index import (
+    TpuPostingsIndex,
+    exact_rescore,
+    invert_to_postings,
+    postings_score_topk,
+    quantize_postings,
+    sparse_query_dense,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def project_docs(doc_idx, doc_val, vocab_size: int, n_proj: int,
+                 seed: int = 0) -> np.ndarray:
+    """[N, r] random projection of the sparse doc vectors (host-side,
+    chunked). Random directions preserve dot-product geometry in
+    expectation, so nearby projections => similar scores for any query."""
+    n = len(doc_idx)
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((vocab_size + 1, n_proj)).astype(np.float32)
+    proj = np.empty((n, n_proj), np.float32)
+    lens = {len(x) for x in doc_idx}
+    if len(lens) == 1 and min(lens) >= 1:
+        ti, tv = np.stack(doc_idx), np.stack(doc_val)
+        step = max(1, (1 << 24) // (ti.shape[1] * n_proj))  # bound temp mem
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            proj[s:e] = np.einsum("dm,dmr->dr", tv[s:e], R[ti[s:e]],
+                                  optimize=True)
+    else:
+        for i, (t_i, t_v) in enumerate(zip(doc_idx, doc_val)):
+            proj[i] = t_v @ R[t_i] if len(t_i) else 0.0
+    return proj
+
+
+def assign_clusters(doc_idx, doc_val, cluster_size: int,
+                    vocab_size: int | None = None, n_proj: int = 16,
+                    seed: int = 0) -> Tuple[np.ndarray, int]:
+    """Balanced recursive bisection in random-projection space (the ScaNN/
+    KD-partition recipe adapted to sparse dot-product geometry).
+
+    Term-keyed grouping (dominant term, idf-dominant term, ...) is
+    regime-dependent: it collapses whenever ranking is driven by a signal
+    the chosen key ignores (e.g. hot-term magnitudes vs discriminative
+    tail overlap). Projecting each doc onto r random directions and
+    recursively median-splitting along the per-level maximum-spread
+    dimension groups docs that are close in the ACTUAL scoring geometry,
+    is regime-agnostic, and is balanced by construction (segment sizes
+    differ by <= 1, so cluster_docs is a tight [K, G] rectangle).
+
+    Returns (cluster_of [N] int32, n_clusters).
+    """
+    n = len(doc_idx)
+    G = cluster_size
+    if vocab_size is None:
+        vocab_size = int(max((int(x.max()) for x in doc_idx
+                              if len(x)), default=0)) + 1
+    proj = project_docs(doc_idx, doc_val, vocab_size, n_proj, seed)
+
+    order = np.arange(n)
+    seg = np.zeros(n, np.int64)  # segment id per position in `order`
+    sizes = np.array([n], np.int64)
+    while sizes.max() > G:
+        # per-segment split dim = the projection with the largest spread
+        # inside that segment (computed segment-wise via sorted extremes)
+        starts = np.r_[0, np.cumsum(sizes)[:-1]]
+        p = proj[order]
+        hi = np.maximum.reduceat(p, starts, axis=0)
+        lo = np.minimum.reduceat(p, starts, axis=0)
+        dim = np.argmax(hi - lo, axis=1)           # [n_seg]
+        key = p[np.arange(n), dim[seg]]
+        ix = np.lexsort((key, seg))
+        order, seg = order[ix], seg[ix]
+        rank = np.arange(n) - starts[seg]
+        half = (sizes[seg] + 1) // 2
+        seg = seg * 2 + (rank >= half)
+        # renumber segments densely and recompute sizes
+        uniq, seg = np.unique(seg, return_inverse=True)
+        sizes = np.bincount(seg)
+        # keep `order` grouped by the new seg ids (stable)
+        ix = np.argsort(seg, kind="stable")
+        order, seg = order[ix], seg[ix]
+    cluster_of = np.empty(n, np.int32)
+    cluster_of[order] = seg.astype(np.int32)
+    return cluster_of, int(sizes.size)
+
+
+def build_cluster_arrays(doc_idx, doc_val, cluster_of: np.ndarray,
+                         n_clusters: int, cluster_size: int, vocab_size: int,
+                         pad_doc: int):
+    """Summaries + membership, host-side and vectorized.
+
+    Returns (summary [V, K] float32 — elementwise max over members,
+    cluster_docs [K, G] int32 padded with ``pad_doc``).
+    """
+    n = len(doc_idx)
+    V, K, G = vocab_size, n_clusters, cluster_size
+    lens = np.fromiter(map(len, doc_idx), np.int64, count=n)
+    all_terms = np.concatenate(doc_idx).astype(np.int64)
+    all_vals = np.ascontiguousarray(np.concatenate(doc_val), np.float32)
+    all_cluster = np.repeat(cluster_of.astype(np.int64), lens)
+    # segment-max via sort (np.maximum.at is ~10x slower at 10^8 postings):
+    # order postings by (term, cluster, value desc) and keep each
+    # (term, cluster) run's first element.
+    flat = all_terms * K + all_cluster
+    order = np.lexsort((-all_vals, flat))
+    flat = flat[order]
+    first = np.r_[True, flat[1:] != flat[:-1]]
+    summary = np.zeros(V * K, np.float32)
+    summary[flat[first]] = all_vals[order][first]
+    summary = summary.reshape(V, K)
+
+    cluster_docs = np.full((K, G), pad_doc, np.int32)
+    order = np.argsort(cluster_of, kind="stable")
+    slot = np.arange(n) - np.searchsorted(cluster_of[order],
+                                          cluster_of[order])
+    cluster_docs[cluster_of[order], slot] = order
+    return summary, cluster_docs
+
+
+def cluster_search_topk(summary, cluster_docs, post, d_terms, d_vals,
+                        d_scale, q_idx, q_val, k: int, vocab_size: int,
+                        n_probes: int, n_docs: int, posting_candidates: int):
+    """Union-candidate two-level search.
+
+    Phase 1a (clusters): dense [B, V] x [V, K] summary matmul on the MXU,
+    EXACT top-L (K is tiny, N/G; approx_max_k recall would compound with
+    cluster coverage), expand members -> [B, L*G] ids.
+    Phase 1b (postings): short-cap impact-ordered postings, sort-mode
+    aggregation (corpus-size-independent), top-C_p ids. ``post`` is
+    (post_docs, post_w, p_scale) or None to disable.
+    Phase 2: ONE exact rescore of the deduplicated union.
+
+    The two candidate generators fail in complementary ways: truncation
+    loses docs whose score is spread across mid-rank postings of many
+    (hot) terms — exactly what cluster summaries bound without loss —
+    while summaries blur per-term magnitudes within a cluster — exactly
+    what the top-of-list postings preserve. Returns (scores, doc_ids),
+    width min(k, pool).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = q_idx.shape[0]
+    qd = sparse_query_dense(q_idx, q_val, vocab_size)        # [B, V+1] f32
+    s = jnp.dot(qd[:, :vocab_size].astype(jnp.bfloat16), summary,
+                preferred_element_type=jnp.float32)          # [B, K]
+    L = min(n_probes, s.shape[1])
+    _, cl = jax.lax.top_k(s, L)
+    cand = cluster_docs[cl].reshape(B, -1)                   # [B, L*G]
+    if post is not None:
+        # sort-mode fillers carry doc id 0: harmless — they just nominate
+        # doc 0 as a candidate; rescore is exact and dedup keeps one copy
+        _, cand_p = postings_score_topk(
+            post[0], post[1], post[2], q_idx, q_val,
+            min(posting_candidates, post[1].shape[1] * q_idx.shape[1]),
+            n_docs, approx=False, scoring="sort")
+        cand = jnp.concatenate([cand, cand_p], axis=1)
+    scores = exact_rescore(d_terms, d_vals, d_scale, qd, cand)
+    # dedup the union: sort by id, kill neighbor duplicates (same doc ->
+    # identical exact score, keep the first), then partial-sort
+    ids_s, sc_s = jax.lax.sort((cand, scores), dimension=-1, num_keys=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), ids_s[:, 1:] == ids_s[:, :-1]], axis=1)
+    sc_s = jnp.where(dup, -jnp.inf, sc_s)
+    vals, pos = jax.lax.top_k(sc_s, min(k, sc_s.shape[1]))
+    out = jnp.take_along_axis(ids_s, pos, axis=1)
+    # -inf slots are dup fillers: zero them so the caller's v>0 filter drops
+    return jnp.where(vals > -jnp.inf, vals, 0.0), \
+        jnp.where(vals > -jnp.inf, out, 0)
+
+
+class TpuClusterIndex(TpuPostingsIndex):
+    """Two-level cluster-summary index (see module docstring).
+
+    API-compatible with TpuPostingsIndex: add/add_csr/build/search_topk/
+    search_vector/delete/update/compact/save/load. ``n_postings`` and
+    ``scoring`` do not apply; ``cluster_size`` (G) and ``n_probes`` (L)
+    replace them. Effective candidate pool = L*G.
+    """
+
+    def __init__(self, vocab_size: int, cluster_size: int = 64,
+                 n_probes: int = 32, query_top_t: int = 32,
+                 batch_pad: int = 8, approx: bool = True,
+                 posting_cap: int = 64, posting_candidates: int = 128):
+        """``posting_cap`` (P) / ``posting_candidates`` (C_p) size the
+        union's postings side; posting_cap=0 disables it (clusters only).
+        Keep query_top_t * posting_cap <= 4096 — the sort-aggregation
+        crossover (docs/POSTINGS_BENCH.json _sort_crossover_note)."""
+        super().__init__(
+            vocab_size, query_top_t=query_top_t, batch_pad=batch_pad,
+            approx=approx,
+            # the base class uses rescore_candidates for max_results and
+            # the tombstone-overfetch compaction guard; our pool is the
+            # union's width
+            rescore_candidates=n_probes * cluster_size + (
+                posting_candidates if posting_cap else 0))
+        self.cluster_size = cluster_size
+        self.n_probes = n_probes
+        self.posting_cap = posting_cap
+        self.posting_candidates = posting_candidates
+        self.n_clusters = 0
+
+    def build(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        n = len(self.doc_ids)
+        if n == 0:
+            raise ValueError("empty index")
+        t0 = time.time()
+        cluster_of, K = assign_clusters(self._doc_idx, self._doc_val,
+                                        self.cluster_size, self.vocab_size)
+        self.n_clusters = K
+        summary, cluster_docs = build_cluster_arrays(
+            self._doc_idx, self._doc_val, cluster_of, K, self.cluster_size,
+            self.vocab_size, pad_doc=n)
+        # doc-major CSR for the exact rescore, plus ONE pad row (doc id n:
+        # all-pad terms, score exactly 0) so padded cluster slots rescore
+        # to 0 and fall to the `v > 0` result filter
+        terms, q, dscale = self._doc_major_arrays(
+            self._doc_idx, self._doc_val, n)
+        terms = np.concatenate(
+            [terms, np.full((1, terms.shape[1]), self.vocab_size,
+                            terms.dtype)])
+        q = np.concatenate([q, np.zeros((1, q.shape[1]), np.int8)])
+        dscale = np.concatenate([dscale, np.full((1,), 1e-6, np.float32)])
+        built = [jax.device_put(summary.astype(jnp.bfloat16)),
+                 jax.device_put(cluster_docs)]
+        if self.posting_cap:
+            pd, pw, _ = invert_to_postings(
+                self._doc_idx, self._doc_val, self.vocab_size,
+                self.posting_cap)
+            pq, pscale = quantize_postings(pw)
+            built += [jax.device_put(pd), jax.device_put(pq),
+                      jax.device_put(pscale)]
+        self._built = tuple(built)
+        self._doc_major = (jax.device_put(terms), jax.device_put(q),
+                           jax.device_put(dscale))
+        self.truncated_postings = 0  # nothing is ever truncated
+        self._base_n = n
+        self._delta_cache = None
+        self._make_search()
+        logger.info(
+            "cluster index: %d docs in %d clusters (G=%d, probes=%d), "
+            "%.0f MB on device, built in %.1fs",
+            n, K, self.cluster_size, self.n_probes,
+            self.memory_bytes() / 1e6, time.time() - t0)
+
+    def _make_search(self) -> None:
+        import jax
+
+        V = self.vocab_size
+        L = self.n_probes
+        C_p = self.posting_candidates
+        n = len(self.doc_ids)
+        with_post = bool(self.posting_cap)
+
+        def search(summary, cluster_docs, *rest):
+            *post_and_dm, q_idx, q_val, k = rest
+            if with_post:
+                post = tuple(post_and_dm[:3])
+                d_terms, d_vals, d_scale = post_and_dm[3:6]
+            else:
+                post = None
+                d_terms, d_vals, d_scale = post_and_dm[:3]
+            return cluster_search_topk(summary, cluster_docs, post, d_terms,
+                                       d_vals, d_scale, q_idx, q_val, k,
+                                       V, L, n, C_p)
+
+        n_arr = 2 + (3 if with_post else 0) + 3
+        jitted = jax.jit(search, static_argnums=n_arr + 2)
+        self._search_jit = lambda qi, qv, k: jitted(
+            *self._built, *self._doc_major, qi, qv, k)
+
+    def max_results(self) -> int:
+        n = len(self.doc_ids)
+        return min(n, self.rescore_candidates)
+
+    # --------------------------------------------------------- persistence
+    def _config_array(self) -> np.ndarray:
+        return np.asarray([self.vocab_size, self.cluster_size,
+                           self.n_probes, self.query_top_t,
+                           self.posting_cap, self.posting_candidates],
+                          np.int64)
+
+    @classmethod
+    def _config_kwargs(cls, cfg: np.ndarray):
+        vocab, G, L, top_t, P, C_p = (int(x) for x in cfg)
+        return vocab, dict(cluster_size=G, n_probes=L, query_top_t=top_t,
+                           posting_cap=P, posting_candidates=C_p)

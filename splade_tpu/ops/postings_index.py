@@ -184,6 +184,33 @@ def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
     return jax.lax.top_k(acc, k)
 
 
+def sparse_query_dense(q_idx, q_val, vocab_size: int):
+    """[B, T] sparse query -> [B, V+1] dense (column V: pad terms -> 0).
+    Shared by the exact rescore and the cluster-summary phase 1."""
+    import jax.numpy as jnp
+
+    B = q_idx.shape[0]
+    qd = jnp.zeros((B, vocab_size + 1), jnp.float32)
+    return qd.at[jnp.arange(B)[:, None], q_idx].add(q_val)
+
+
+def exact_rescore(d_terms, d_vals, d_scale, qd, cand):
+    """EXACT f32 scores of candidate docs from the doc-major CSR block.
+
+    d_terms [N, M] (uint16/int32, pad id = V -> zero column of qd),
+    d_vals [N, M] int8 with per-doc d_scale [N]; qd [B, V+1] dense query;
+    cand [B, C] doc ids. Returns scores [B, C]. The one phase-2 kernel,
+    shared by the postings two-phase, the cluster index, and the serving
+    engine's fused paths."""
+    import jax.numpy as jnp
+
+    B = cand.shape[0]
+    terms = d_terms[cand].astype(jnp.int32)  # [B, C, M]
+    w = d_vals[cand].astype(jnp.float32) * d_scale[cand][:, :, None]
+    qv = qd[jnp.arange(B)[:, None, None], terms]                   # [B, C, M]
+    return (qv * w).sum(-1)                                        # [B, C]
+
+
 def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
                             d_scale, q_idx, q_val, k: int, n_docs: int,
                             vocab_size: int, n_candidates: int, approx: bool,
@@ -199,17 +226,12 @@ def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
 
     if phase1_dtype is None:
         phase1_dtype = jnp.bfloat16
-    B = q_idx.shape[0]
     p1_vals, cand = postings_score_topk(post_docs, post_w, scale, q_idx,
                                         q_val, n_candidates, n_docs, approx,
                                         acc_dtype=phase1_dtype,
                                         scoring=scoring)           # [B, C]
-    qd = jnp.zeros((B, vocab_size + 1), jnp.float32)  # col V: pad terms -> 0
-    qd = qd.at[jnp.arange(B)[:, None], q_idx].add(q_val)
-    terms = d_terms[cand].astype(jnp.int32)  # d_terms may be uint16 [B, C, M]
-    w = d_vals[cand].astype(jnp.float32) * d_scale[cand][:, :, None]
-    qv = qd[jnp.arange(B)[:, None, None], terms]                   # [B, C, M]
-    scores = (qv * w).sum(-1)                                      # [B, C]
+    qd = sparse_query_dense(q_idx, q_val, vocab_size)
+    scores = exact_rescore(d_terms, d_vals, d_scale, qd, cand)     # [B, C]
     # sort-mode phase 1 marks filler slots (beyond the distinct-doc pool)
     # with -inf and doc id 0; rescoring them would duplicate doc 0 with its
     # genuine score, so keep them -inf (scatter-mode vals are finite: no-op)
@@ -664,6 +686,19 @@ class TpuPostingsIndex:
                                 np.asarray(values)[None], k)[0]
 
     # --------------------------------------------------------- persistence
+    def _config_array(self) -> np.ndarray:
+        """Index hyperparameters persisted alongside the corpus; paired
+        with ``_config_kwargs`` (subclasses override both)."""
+        return np.asarray([self.vocab_size, self.n_postings,
+                           self.query_top_t, self.rescore_candidates],
+                          np.int64)
+
+    @classmethod
+    def _config_kwargs(cls, cfg: np.ndarray):
+        vocab, P, top_t, C = (int(x) for x in cfg)
+        return vocab, dict(n_postings=P, query_top_t=top_t,
+                           rescore_candidates=C)
+
     def save(self, path: str) -> None:
         """Persist the staged corpus (CSR + ids + config) so a server
         restart skips corpus re-encoding — the startup cost at million-doc
@@ -690,9 +725,7 @@ class TpuPostingsIndex:
                 np.zeros(0, np.int32),
                 vals=np.concatenate(self._doc_val) if len(lens) else
                 np.zeros(0, np.float32),
-                config=np.asarray([self.vocab_size, self.n_postings,
-                                   self.query_top_t, self.rescore_candidates],
-                                  np.int64),
+                config=self._config_array(),
             )
         import os
 
@@ -719,8 +752,7 @@ class TpuPostingsIndex:
                     "caches load with allow_pickle=False.") from e
             raise
         with z_ctx as z:
-            vocab, P, top_t, C = (int(x) for x in z["config"])
-            kw = dict(n_postings=P, query_top_t=top_t, rescore_candidates=C)
+            vocab, kw = cls._config_kwargs(z["config"])
             kw.update(overrides)
             index = cls(vocab, **kw)
             lens = z["lens"]

@@ -120,6 +120,35 @@ def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
     return fused
 
 
+def make_fused_cluster_search_fn(model, banned, top_t: int, n_docs: int,
+                                 vocab_size: int, n_probes: int,
+                                 posting_candidates: int, with_post: bool):
+    """Fused encode→cluster-union-search for TpuClusterIndex-backed
+    serving: (params, summary, cluster_docs, [post_docs, post_w, p_scale,]
+    d_terms, d_vals, d_scale, ids, mask, k) -> (vals, idxs, q_val, q_idx).
+    Final scores are exact (phase 2 rescores from the doc-major CSR)."""
+    from splade_tpu.ops.cluster_index import cluster_search_topk
+
+    encode_query = _make_encode_query(model, banned, top_t)
+
+    def fused(p, summary, cluster_docs, *rest):
+        *mid, ids, mask, k = rest
+        if with_post:
+            post = tuple(mid[:3])
+            d_terms, d_vals, d_scale = mid[3:6]
+        else:
+            post = None
+            d_terms, d_vals, d_scale = mid[:3]
+        q_val, q_idx = encode_query(p, ids, mask)
+        vals, idxs = cluster_search_topk(
+            summary, cluster_docs, post, d_terms, d_vals, d_scale,
+            q_idx, q_val, k, vocab_size, n_probes, n_docs,
+            posting_candidates)
+        return vals, idxs, q_val, q_idx
+
+    return fused
+
+
 def make_fused_mesh_postings_jit(model, banned, index):
     """Fused encode→search over a MeshShardedPostingsIndex: the query
     encode runs replicated on every device, each shard scores its doc
@@ -238,6 +267,19 @@ class ServingEngine:
         # that is D * min(rescore, shard_size), NOT rescore (each shard
         # rescores its own pool)
         self._postings_C = self.index.max_results() if C else 0
+        from splade_tpu.ops.cluster_index import TpuClusterIndex
+
+        if isinstance(self.index, TpuClusterIndex):
+            with_post = bool(self.index.posting_cap)
+            fused = make_fused_cluster_search_fn(
+                self._model, self._banned, top_t=self.index.query_top_t,
+                n_docs=self._postings_n, vocab_size=self.index.vocab_size,
+                n_probes=self.index.n_probes,
+                posting_candidates=self.index.posting_candidates,
+                with_post=with_post)
+            self._fused_jit = jax.jit(
+                fused, static_argnums=(11 if with_post else 8,))
+            return
         if isinstance(self.index, MeshShardedPostingsIndex):
             self._fused_jit = make_fused_mesh_postings_jit(
                 self._model, self._banned, self.index)
@@ -356,15 +398,16 @@ class ServingEngine:
         mask = jnp.asarray(enc["attention_mask"].astype(np.int32))
         q_cached = None
         if self._postings:
-            post_docs, post_w, term_scale = self.index._built
+            # _built holds the phase-1 structure (3 postings arrays, or
+            # summary+cluster_docs(+postings) for the cluster index); the
+            # index owns that layout, the engine just forwards it
             if self._postings_two_phase:
                 fused_out = self._fused_jit(
-                    self.params, post_docs, post_w, term_scale,
+                    self.params, *self.index._built,
                     *self.index._doc_major, ids, mask, k_eff)
             else:
                 fused_out = self._fused_jit(
-                    self.params, post_docs, post_w, term_scale, ids, mask,
-                    k_eff)
+                    self.params, *self.index._built, ids, mask, k_eff)
             vals, idxs = fused_out[0], fused_out[1]
             if len(fused_out) > 2:  # mesh fused fn returns only (vals, idxs)
                 q_cached = fused_out[2], fused_out[3]
@@ -471,14 +514,22 @@ def build_engine_from_docs(
 ) -> ServingEngine:
     """Encode (doc_id, text) pairs on device and build a served index.
 
-    index_type: 'dense' ([N,V] matmul index — best to a few 10^5 docs) or
+    index_type: 'dense' ([N,V] matmul index — best to a few 10^5 docs),
     'postings' (impact-ordered truncated postings — million-doc corpora;
     rescore_candidates>0 adds the two-phase exact-rescoring path — use a
-    short cap like n_postings=64 with it)."""
+    short cap like n_postings=64 with it), or 'cluster' (cluster-summary
+    union index — million-doc corpora with hot-term-concentrated vectors
+    where posting truncation collapses recall)."""
     from splade_tpu.benchmark.encoders import SparseEncoderV33
 
     enc = SparseEncoderV33(model, params, tokenizer, doc_top_k=doc_top_k)
-    if index_type == "postings":
+    if index_type == "cluster":
+        from splade_tpu.ops.cluster_index import TpuClusterIndex
+
+        index = TpuClusterIndex(
+            len(tokenizer),
+            query_top_t=engine_kw.get("query_top_k", 64) or 32)
+    elif index_type == "postings":
         from splade_tpu.ops.postings_index import TpuPostingsIndex
 
         index = TpuPostingsIndex(

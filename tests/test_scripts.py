@@ -109,6 +109,49 @@ class TestBenchSupervisor:
         assert calls["n"] == bench.ATTEMPTS
 
 
+def test_recall_encoder_tiny_schema(tmp_path):
+    """The round-evidence script must persist recall AND throughput fields
+    (VERDICT r2 #2/#10: search_s/QPS silently dropped in round 2) for both
+    index kinds."""
+    out = tmp_path / "bench.json"
+    for extra, key in ([], "tiny_post"), (["--index", "cluster",
+                                          "--probes", "8"], "tiny_clus"):
+        r = subprocess.run(
+            [sys.executable, "scripts/recall_encoder_1m.py", "--tiny",
+             "--out", str(out), "--key", key, *extra],
+            capture_output=True, text=True, timeout=540,
+            cwd=Path(__file__).resolve().parent.parent)
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    data = json.loads(out.read_text())
+    for key in ("tiny_post", "tiny_clus"):
+        e = data[key]
+        for field in ("recall", "build_s", "search_s", "qps", "docs",
+                      "queries", "weights"):
+            assert field in e, (key, field)
+        assert e["qps"] > 0 and 0.0 <= e["recall"] <= 1.0
+    assert data["tiny_post"]["n_postings"] == 128
+    assert data["tiny_clus"]["n_probes"] == 8
+    assert data["tiny_clus"]["candidate_pool"] > 0
+
+
+def test_bench_train_variants_tiny_schema(tmp_path):
+    out = tmp_path / "variants.json"
+    r = subprocess.run(
+        [sys.executable, "scripts/bench_train_variants.py", "--tiny",
+         "--only", "pack_8x16,dots_8x8", "--out", str(out)],
+        capture_output=True, text=True, timeout=540,
+        cwd=Path(__file__).resolve().parent.parent)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    data = json.loads(out.read_text())
+    for name in ("pack_8x16", "dots_8x8"):
+        e = data[name]
+        assert "error" not in e, e
+        for field in ("triplets_per_sec_per_chip", "step_ms", "compile_s",
+                      "micro_batch", "accum", "packed_query"):
+            assert field in e, (name, field)
+    assert data["pack_8x16"]["packed_query"] is True
+
+
 def test_collect_term_data_runs(tmp_path):
     out = tmp_path / "terms.jsonl"
     r = subprocess.run([sys.executable, "scripts/collect_term_data.py",

@@ -808,3 +808,46 @@ def test_mesh_serving_under_concurrent_load(engine):
     # mutations landed: the last added doc is searchable
     hits = e.search("신규 3 가나다", k=5)
     assert any(d == "new3" for d, _ in hits)
+
+
+def test_cluster_backed_engine_matches_dense(engine):
+    """The same corpus served through the cluster-summary union index
+    returns the same top documents and (exact) scores as the dense engine
+    — with probes covering all clusters the candidate set is complete."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    docs = [(f"doc{i}", f"문서 {i} 텍스트 {'가나다라마바사'[i % 7]}")
+            for i in range(40)]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.cluster_index import TpuClusterIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = TpuClusterIndex(VOCAB, cluster_size=8, n_probes=8,
+                            query_top_t=16, posting_cap=8,
+                            posting_candidates=16)
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    index.build()
+    clus_engine = ServingEngine(model, params, tok, index,
+                                query_top_k=16, query_max_length=16)
+    assert clus_engine._postings and clus_engine._postings_two_phase
+    queries = ["가나다 검색", "문서 7"]
+    dense = engine.search_batch(queries, k=5)
+    clus = clus_engine.search_batch(queries, k=5)
+    for d, c in zip(dense, clus):
+        assert [x for x, _ in d] == [x for x, _ in c]
+        np.testing.assert_allclose([s for _, s in d], [s for _, s in c],
+                                   rtol=5e-2)
+    # CRUD through the ENGINE on the cluster backend: delta add + delete
+    # (membership at full k — a tiny random model cannot guarantee rank)
+    clus_engine.add_documents([("newdoc", "가나다 가나다 가나다")])
+    assert clus_engine.index.delta_count == 1
+    got = clus_engine.search_batch(["가나다 검색"], k=41)[0]
+    assert "newdoc" in [x for x, _ in got]
+    clus_engine.delete_documents(["newdoc"])
+    got = clus_engine.search_batch(["가나다 검색"], k=41)[0]
+    assert "newdoc" not in [x for x, _ in got]
