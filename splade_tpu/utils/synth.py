@@ -30,3 +30,61 @@ def uniform_vectors(rng: np.random.Generator, n: int, vocab: int,
         vals = (np.abs(rng.normal(size=nnz)) + 0.05).astype(np.float32)
         out.append((idx, vals))
     return out
+
+
+_JOSA = ("은", "는", "이", "가", "을", "를", "에", "에서", "으로", "로",
+         "와", "과", "도", "만", "의", "까지", "부터", "처럼")
+_ENDINGS = ("한다", "했다", "합니다", "하는", "된다", "되었다", "입니다")
+
+
+def korean_morph_benchmark(rng: np.random.Generator, n_docs: int = 1200,
+                           n_queries: int = 240, n_stems: int = 900,
+                           stems_per_doc: int = 12, query_stems: int = 3):
+    """Synthetic Korean retrieval fixture with MORPHOLOGICAL structure,
+    sized for the analyzer-sensitivity experiment (VERDICT r2 #5).
+
+    Stems are random precomposed-Hangul noun roots; documents render each
+    sampled stem with a random josa particle (or bare) plus verb-ending
+    filler, queries use the BARE stems of one target document — the regime
+    where whitespace matching loses to suffix-stripping analyzers and a
+    morphological analyzer is the reference behavior (nori,
+    reference benchmark/index_manager.py:47-79).
+
+    Returns (corpus {id: text}, queries {qid: text}, qrels {qid: {ids}});
+    qrels contain every document whose stem set covers the query's stems.
+    """
+    syllable = lambda: chr(0xAC00 + int(rng.integers(11172)))  # noqa: E731
+    stems = []
+    seen = set()
+    while len(stems) < n_stems:
+        s = "".join(syllable() for _ in range(int(rng.integers(2, 4))))
+        if s not in seen:
+            seen.add(s)
+            stems.append(s)
+    doc_stems = []
+    corpus = {}
+    for d in range(n_docs):
+        chosen = rng.choice(n_stems, size=stems_per_doc, replace=False)
+        doc_stems.append(set(int(c) for c in chosen))
+        words = []
+        for c in chosen:
+            stem = stems[int(c)]
+            r = rng.random()
+            if r < 0.75:
+                words.append(stem + _JOSA[int(rng.integers(len(_JOSA)))])
+            else:
+                words.append(stem)
+            if rng.random() < 0.25:
+                words.append(_ENDINGS[int(rng.integers(len(_ENDINGS)))])
+        rng.shuffle(words)
+        corpus[f"d{d}"] = " ".join(words)
+    queries, qrels = {}, {}
+    for q in range(n_queries):
+        target = int(rng.integers(n_docs))
+        picked = rng.choice(sorted(doc_stems[target]), size=query_stems,
+                            replace=False)
+        queries[f"q{q}"] = " ".join(stems[int(c)] for c in picked)
+        want = set(picked.tolist())
+        qrels[f"q{q}"] = {f"d{d}" for d in range(n_docs)
+                          if want <= doc_stems[d]}
+    return corpus, queries, qrels
