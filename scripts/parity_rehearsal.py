@@ -15,8 +15,10 @@ Steps:
   2. data: use $SPLADE_BENCH_DATA/<name>/ when present; otherwise write
      small synthetic BEIR-style fixtures for ko-strategyqa / miracl-ko /
      mrtydi-ko.
-  3. run the benchmark CLI (bm25 + neural_sparse [+ hybrids when dense
-     given]) over all three datasets.
+  3. run the benchmark CLI over all three datasets with the FULL method
+     matrix: bm25 + neural_sparse + semantic + all 8 hybrids (a fake
+     random XLM-R stands in for BGE-M3 when --dense-checkpoint is absent,
+     taking the same TeacherDenseEncoder load path).
   4. write outputs/parity_rehearsal/REPORT.md: measured vs BASELINE.md
      numbers, stamped SYNTHETIC WEIGHTS when stand-ins were used.
 """
@@ -37,7 +39,11 @@ from pathlib import Path
 import numpy as np
 
 BASELINE_R1 = {  # BASELINE.md retrieval table (reference published numbers)
-    "ko-strategyqa": {"bm25": 0.537, "neural_sparse": 0.622, "semantic": 0.735},
+    "ko-strategyqa": {"bm25": 0.537, "neural_sparse": 0.622,
+                      "semantic": 0.735,
+                      # model card :231-239 — the highlighted best hybrid
+                      # (linear fusion, sparse 0.3 / dense 0.7)
+                      "hybrid_linear_0.3": 0.723},
     "miracl-ko": {"bm25": 0.441, "neural_sparse": 0.620, "semantic": 0.709},
     "mrtydi-ko": {"bm25": 0.556, "neural_sparse": 0.734, "semantic": 0.841},
 }
@@ -80,6 +86,43 @@ def make_fake_model(model_dir: Path, tiny: bool) -> None:
     tokenizer.save_pretrained(str(model_dir))
     print(f"fake model ({cfg.num_hidden_layers}L/{cfg.hidden_size}H) "
           f"-> {model_dir} in {time.time()-t0:.0f}s", flush=True)
+
+
+def make_fake_dense_model(dense_dir: Path, tiny: bool) -> None:
+    """Random XLM-R HF dir standing in for BGE-M3 (the dense baseline /
+    hybrid partner) so the rehearsal ALWAYS exercises semantic + all 8
+    hybrid methods (VERDICT r2 #9) — the same TeacherDenseEncoder load
+    path the real BGE-M3 weights will take. Architecture is scaled down
+    (the sparse side carries the parity burden; the dense side here proves
+    the plumbing): 2L/32H tiny, 4L/256H otherwise."""
+    import torch
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    from splade_tpu.utils.tokenizer import create_tokenizer
+
+    tokenizer = create_tokenizer()
+    if tiny:
+        dims = dict(hidden_size=32, intermediate_size=64,
+                    num_hidden_layers=2, num_attention_heads=4)
+    else:
+        dims = dict(hidden_size=256, intermediate_size=512,
+                    num_hidden_layers=4, num_attention_heads=4)
+    # pad_token_id=1 is the XLM-R CONVENTION (it doubles as the position-
+    # embedding padding_idx, so it must be < max_position_embeddings; our
+    # tokenizer pads with 49999). Harmless for a random stand-in: the
+    # encoder masks pads via attention_mask, not the embedding row.
+    cfg = XLMRobertaConfig(
+        vocab_size=len(tokenizer), max_position_embeddings=514,
+        type_vocab_size=1, pad_token_id=1,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0, **dims)
+    torch.manual_seed(0)
+    t0 = time.time()
+    XLMRobertaModel(cfg, add_pooling_layer=False).eval().save_pretrained(
+        str(dense_dir), safe_serialization=True)
+    tokenizer.save_pretrained(str(dense_dir))
+    print(f"fake dense model ({dims['num_hidden_layers']}L/"
+          f"{dims['hidden_size']}H) -> {dense_dir} in {time.time()-t0:.0f}s",
+          flush=True)
 
 
 def make_fixture(data_dir: Path, name: str, n_docs: int, n_queries: int) -> None:
@@ -132,6 +175,13 @@ def main() -> int:
         make_fake_model(model_dir, args.tiny)
     elif synthetic_weights:
         print(f"reusing fake model at {model_dir}", flush=True)
+    if not args.dense_checkpoint:
+        # the published table's semantic + hybrid rows must always appear:
+        # stand in a fake dense model when no real BGE-M3 dir is given
+        dense_dir = work / "dense_hf"
+        if not (dense_dir / "model.safetensors").exists():
+            make_fake_dense_model(dense_dir, args.tiny)
+        args.dense_checkpoint = str(dense_dir)
 
     datasets = ["ko-strategyqa", "miracl-ko", "mrtydi-ko"]
     data_root = os.environ.get("SPLADE_BENCH_DATA")
@@ -157,10 +207,7 @@ def main() -> int:
         argv = ["--dataset", name, "--checkpoint", str(model_dir),
                 "--sample-size", str(args.sample_size),
                 "--output-dir", str(out_dir)]
-        if args.dense_checkpoint:
-            argv += ["--dense-checkpoint", args.dense_checkpoint]
-        else:
-            argv += ["--no-hybrid"]
+        argv += ["--dense-checkpoint", args.dense_checkpoint]
         print(f"== benchmark {name}", flush=True)
         rc = runner_mod.main(argv)
         assert rc == 0, f"benchmark {name} failed"
@@ -180,13 +227,16 @@ def main() -> int:
         "|---|---|---|---|",
     ]
     for name in datasets:
-        for method in ("bm25", "neural_sparse", "semantic"):
-            if method in results[name]:
-                got = results[name][method]["recall@1"]
-                want = BASELINE_R1[name].get(method)
-                lines.append(f"| {name} | {method} | {got:.3f} | "
-                             f"{want:.3f} |" if want is not None else
-                             f"| {name} | {method} | {got:.3f} | — |")
+        # every method the runner produced (bm25/neural_sparse/semantic +
+        # all hybrids), published rows first, baseline column where known
+        known = [m for m in BASELINE_R1[name] if m in results[name]]
+        rest = sorted(m for m in results[name] if m not in BASELINE_R1[name])
+        for method in known + rest:
+            got = results[name][method]["recall@1"]
+            want = BASELINE_R1[name].get(method)
+            lines.append(f"| {name} | {method} | {got:.3f} | "
+                         f"{want:.3f} |" if want is not None else
+                         f"| {name} | {method} | {got:.3f} | — |")
     out_root.mkdir(parents=True, exist_ok=True)
     (out_root / "REPORT.md").write_text("\n".join(lines) + "\n")
     (out_root / "summary.json").write_text(json.dumps({

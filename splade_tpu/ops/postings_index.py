@@ -796,9 +796,14 @@ class MeshShardedPostingsIndex(TpuPostingsIndex):
     (e.g. the serving engine) route on ``isinstance(x, TpuPostingsIndex)``.
     """
 
-    # adds after build() would change shard assignment mid-flight: the
-    # mesh index keeps rebuild-on-mutation semantics instead of a delta
-    supports_delta = False
+    # LSM deltas are shard-agnostic: documents added after build() live in
+    # the HOST-side delta segment (scored exactly, merged into results) and
+    # deletes are tombstones — neither touches the device shards, so no
+    # per-mutation rebuild or fused-jit recompile. Shard assignment only
+    # changes at compact(), which folds the delta via a full (re)build.
+    # Round 2 disabled this out of caution ("adds would change shard
+    # assignment mid-flight"); that concern only ever applied to compaction.
+    supports_delta = True
 
     def __init__(self, vocab_size: int, mesh, n_postings: int = 2048,
                  query_top_t: int = 32, batch_pad: int = 8,

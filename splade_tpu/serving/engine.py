@@ -435,9 +435,9 @@ class ServingEngine:
                 q_idx = np.asarray(q_cached[1])[:B]
                 q_vecs = [(q_idx[b], q_val[b]) for b in range(B)]
             else:
-                # mesh fused path (no delta support today) or fallback:
-                # separate encode, truncated to the SAME top-T the base
-                # path uses so base/delta scores stay comparable
+                # mesh fused path (returns no cached query vectors) or
+                # fallback: separate encode, truncated to the SAME top-T
+                # the base path uses so base/delta scores stay comparable
                 top_t = self.index.query_top_t
                 q_vecs = []
                 for qi, qv in self.encoder.encode_queries(list(queries)):

@@ -47,7 +47,14 @@ def test_parity_rehearsal_tiny(tmp_path):
     report = (tmp_path / "out" / "REPORT.md").read_text()
     assert "SYNTHETIC WEIGHTS" in report
     for name in ("ko-strategyqa", "miracl-ko", "mrtydi-ko"):
-        assert f"| {name} | neural_sparse |" in report
+        # the FULL published method matrix (VERDICT r2 #9): sparse, dense,
+        # and the hybrid rows — a fake dense model is always constructed
+        for method in ("neural_sparse", "semantic", "hybrid_rrf",
+                       "hybrid_linear_0.3"):
+            assert f"| {name} | {method} |" in report, (name, method)
+    # the model-card-highlighted hybrid row carries its baseline number
+    assert "| ko-strategyqa | hybrid_linear_0.3 |" in report
+    assert "0.723" in report
     summary = json.loads((tmp_path / "out" / "summary.json").read_text())
     assert summary["synthetic_weights"] is True
 

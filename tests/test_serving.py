@@ -733,11 +733,12 @@ def test_mesh_serving_under_concurrent_load(engine):
     """VERDICT r1 item 10: the mesh-sharded serving path under load.
 
     4 searcher threads hammer a MeshShardedPostingsIndex ServingEngine on
-    the 8-virtual-device mesh while a mutator adds documents. The mesh
-    index is rebuild-on-mutate BY DESIGN (adds after build would change
-    shard assignment; supports_delta=False) — the engine must stay
-    consistent through rebuilds: every result resolves, new docs become
-    searchable, throughput is reported."""
+    the 8-virtual-device mesh while a mutator adds AND deletes documents.
+    Since round 3 the mesh index serves mutations from the shard-agnostic
+    host-side LSM delta + tombstones (VERDICT r2 #7) — no rebuild, no
+    fused-jit recompile until the compaction threshold — and the engine
+    must stay consistent throughout: every result resolves, new docs
+    become searchable, deleted docs vanish."""
     import threading as _t
     import time as _time
 
@@ -763,7 +764,7 @@ def test_mesh_serving_under_concurrent_load(engine):
     e = ServingEngine(model, params, tok, index, query_top_k=16,
                       query_max_length=16)
     assert e._postings and e._postings_two_phase
-    assert index.supports_delta is False  # rebuild-on-mutate by design
+    assert index.supports_delta is True  # LSM delta (r3)
 
     errors, counts = [], [0] * 4
     live_ids = {d for d, _ in docs}
@@ -790,6 +791,11 @@ def test_mesh_serving_under_concurrent_load(engine):
                 with lock:
                     live_ids.update(d for d, _ in new)
                 e.add_documents([(d, t) for d, t in new])
+            # mutations must be serving from the delta, not via rebuild
+            assert index.delta_count > 0
+            # delete concurrently; in-flight searches may legitimately
+            # still return it, so the absence check happens post-join
+            e.delete_documents(["new0"])
         except Exception as exc:  # noqa: BLE001
             errors.append(repr(exc))
 
@@ -804,8 +810,15 @@ def test_mesh_serving_under_concurrent_load(engine):
     assert not errors, errors
     total = sum(counts)
     print(f"mesh serving load: {total} queries in {dt:.1f}s "
-          f"({total/dt:.1f} qps on 8 virtual CPU devices) with 4 rebuilds")
-    # mutations landed: the last added doc is searchable
+          f"({total/dt:.1f} qps on 8 virtual CPU devices), delta-served")
+    # mutations landed: the last added doc is searchable from the delta
+    hits = e.search("신규 3 가나다", k=5)
+    assert any(d == "new3" for d, _ in hits)
+    # the deleted doc is tombstone-filtered
+    assert all(d != "new0" for d, _ in e.search("신규 0 가나다", k=30))
+    # and compaction folds everything into the re-sharded base
+    index.compact()
+    assert index.delta_count == 0 and index.deleted_count == 0
     hits = e.search("신규 3 가나다", k=5)
     assert any(d == "new3" for d, _ in hits)
 
