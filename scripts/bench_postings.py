@@ -42,19 +42,35 @@ def main() -> None:
                    help="scatter: [B, N] accumulator (O(N)/batch); sort: "
                         "sort+segment-sum over the [B, T*P] gathered "
                         "postings — corpus-size-independent")
+    p.add_argument("--index", default="postings",
+                   choices=["postings", "cluster"],
+                   help="cluster = cluster-summary union index "
+                        "(TpuClusterIndex)")
+    p.add_argument("--cluster-size", type=int, default=64)
+    p.add_argument("--probes", type=int, default=32)
+    p.add_argument("--posting-cap", type=int, default=64)
+    p.add_argument("--posting-candidates", type=int, default=128)
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    from splade_tpu.ops.cluster_index import TpuClusterIndex
     from splade_tpu.ops.postings_index import TpuPostingsIndex
 
     V = 50_000
     rng = np.random.default_rng(0)
     t0 = time.time()
-    idx = TpuPostingsIndex(V, n_postings=args.n_postings,
-                           query_top_t=args.top_t, approx=not args.exact_topk,
-                           rescore_candidates=args.rescore)
+    if args.index == "cluster":
+        idx = TpuClusterIndex(V, cluster_size=args.cluster_size,
+                              n_probes=args.probes, query_top_t=args.top_t,
+                              posting_cap=args.posting_cap,
+                              posting_candidates=args.posting_candidates)
+    else:
+        idx = TpuPostingsIndex(V, n_postings=args.n_postings,
+                               query_top_t=args.top_t,
+                               approx=not args.exact_topk,
+                               rescore_candidates=args.rescore)
     # bulk synthetic corpus (shared recipe: splade_tpu.utils.synth)
     from splade_tpu.utils.synth import zipf_corpus_csr
 
@@ -65,7 +81,6 @@ def main() -> None:
     idx.build()
     build_s = time.time() - t0
 
-    post_docs, post_w, scale = idx._built
     n = len(idx.doc_ids)
     B, T, K, R = args.batch, args.top_t, args.k, args.reps
     approx = idx.approx
@@ -74,6 +89,62 @@ def main() -> None:
         qi = rng.integers(0, V, size=(R, B, T)).astype(np.int32)
         qv = (np.abs(rng.normal(size=(R, B, T))).astype(np.float32) + 0.1)
         return jnp.asarray(qi), jnp.asarray(qv)
+
+    if args.index == "cluster":
+        from splade_tpu.ops.cluster_index import cluster_search_topk
+
+        with_post = bool(args.posting_cap)
+
+        @jax.jit
+        def csweep(built_and_dm, q_idx, q_val):
+            summary, cluster_docs, *rest = built_and_dm
+            post = tuple(rest[:3]) if with_post else None
+            d_terms, d_vals, d_scale = rest[3:6] if with_post else rest[:3]
+
+            def body(acc0, q):
+                qi_, qv_ = q
+                vals, _ = cluster_search_topk(
+                    summary, cluster_docs, post, d_terms, d_vals, d_scale,
+                    qi_, qv_, K, V, args.probes, n, args.posting_candidates)
+                return acc0 + vals.sum(), None
+
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), (q_idx, q_val))
+            return out
+
+        arrs = (*idx._built, *idx._doc_major)
+        qi, qv = qset()
+        float(csweep(arrs, qi, qv))  # compile+warm
+        times = []
+        for _ in range(3):
+            qi, qv = qset()
+            jax.block_until_ready((qi, qv))
+            t0 = time.time()
+            float(csweep(arrs, qi, qv))
+            times.append(time.time() - t0)
+        dt = min(times)
+        qps = R * B / dt
+        print(json.dumps({
+            "metric": "cluster_index_qps",
+            "device": str(jax.devices()[0]),
+            "docs": n,
+            "cluster_size": args.cluster_size,
+            "n_probes": args.probes,
+            "n_clusters": idx.n_clusters,
+            "posting_cap": args.posting_cap,
+            "posting_candidates": args.posting_candidates,
+            "candidate_pool": idx.rescore_candidates,
+            "device_mb": round(idx.memory_bytes() / 1e6, 1),
+            "build_s": round(build_s, 1),
+            "corpus_gen_s": round(gen_s, 1),
+            "batch": B,
+            "qps": round(qps, 1),
+            "ms_per_query": round(1e3 / qps, 4),
+            "topk": "exact (rescored union)",
+            "runs_s": [round(t, 3) for t in times],
+        }))
+        return
+
+    post_docs, post_w, scale = idx._built
 
     from splade_tpu.ops.postings_index import (
         postings_score_topk, postings_two_phase_topk)

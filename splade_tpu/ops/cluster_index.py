@@ -343,3 +343,187 @@ class TpuClusterIndex(TpuPostingsIndex):
         vocab, G, L, top_t, P, C_p = (int(x) for x in cfg)
         return vocab, dict(cluster_size=G, n_probes=L, query_top_t=top_t,
                            posting_cap=P, posting_candidates=C_p)
+
+
+class MeshShardedClusterIndex(TpuClusterIndex):
+    """Doc-sharded cluster-summary index over a device mesh.
+
+    Device d holds its contiguous doc shard's clusters, summary block, side
+    postings, and doc-major CSR; a search runs phase 0 + union + exact
+    rescore per shard under GSPMD (vmap over the shard axis) and merges the
+    [D, B, k] exact partial top-ks — the only cross-device traffic. This is
+    what takes the cluster index past single-chip HBM: at 10M docs the
+    [V, K] bf16 summary is ~16 GB total, ~2 GB/shard on a v5e-8.
+
+    Same LSM delta/tombstone semantics as the base (host-side, shard-
+    agnostic); compact() re-shards. Probes are per shard, so the effective
+    candidate pool is D x (L*G + C_p).
+    """
+
+    def __init__(self, vocab_size: int, mesh, cluster_size: int = 64,
+                 n_probes: int = 32, query_top_t: int = 32,
+                 batch_pad: int = 8, approx: bool = True,
+                 posting_cap: int = 64, posting_candidates: int = 128):
+        super().__init__(vocab_size, cluster_size=cluster_size,
+                         n_probes=n_probes, query_top_t=query_top_t,
+                         batch_pad=batch_pad, approx=approx,
+                         posting_cap=posting_cap,
+                         posting_candidates=posting_candidates)
+        self.mesh = mesh
+        self.n_shards = int(mesh.devices.size)
+
+    def max_results(self) -> int:
+        n = len(self.doc_ids)
+        return min(n, self.n_shards * self.rescore_candidates)
+
+    def build(self) -> None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = len(self.doc_ids)
+        if n == 0:
+            raise ValueError("empty index")
+        D = self.n_shards
+        per = -(-n // D)
+        self._shard_size = per
+        V, G = self.vocab_size, self.cluster_size
+        M = max((len(x) for x in self._doc_idx), default=1)
+        sums, cdocs, tstk, vstk, sstk = [], [], [], [], []
+        posts = [[], [], []]
+        k_max = max(-(-min(per, max(n - d * per, 1)) // G) for d in range(D))
+        # every shard's phase 0 runs under one vmap: pad K to the widest
+        # shard (pad clusters are all-pad-doc with -inf summary... 0 works:
+        # a 0-score cluster may be probed but expands only pad docs)
+        for d in range(D):
+            lo, hi = d * per, min((d + 1) * per, n)
+            di = self._doc_idx[lo:hi]
+            dv = self._doc_val[lo:hi]
+            if lo < hi:
+                cluster_of, K = assign_clusters(di, dv, G, V)
+                summary, cluster_docs = build_cluster_arrays(
+                    di, dv, cluster_of, K, G, V, pad_doc=per)
+            else:  # empty tail shard
+                K = 1
+                summary = np.zeros((V, 1), np.float32)
+                cluster_docs = np.full((1, G), per, np.int32)
+            if K < k_max:
+                summary = np.pad(summary, ((0, 0), (0, k_max - K)))
+                cluster_docs = np.pad(cluster_docs,
+                                      ((0, k_max - K), (0, 0)),
+                                      constant_values=per)
+            sums.append(summary.astype(np.float16))  # stacked later as bf16
+            cdocs.append(cluster_docs)
+            terms, q, dscale = self._doc_major_arrays(di, dv, hi - lo, M=M)
+            if (hi - lo) < per:
+                pad_n = per - (hi - lo)
+                terms = np.concatenate(
+                    [terms, np.full((pad_n, M), V, terms.dtype)])
+                q = np.concatenate([q, np.zeros((pad_n, M), np.int8)])
+                dscale = np.concatenate(
+                    [dscale, np.full((pad_n,), 1e-6, np.float32)])
+            # + the pad row (local id `per`) cluster pad slots point at
+            terms = np.concatenate([terms, np.full((1, M), V, terms.dtype)])
+            q = np.concatenate([q, np.zeros((1, M), np.int8)])
+            dscale = np.concatenate([dscale, np.full((1,), 1e-6, np.float32)])
+            tstk.append(terms)
+            vstk.append(q)
+            sstk.append(dscale)
+            if self.posting_cap:
+                pd, pw, _ = invert_to_postings(di or [np.zeros(0, np.int32)],
+                                               dv or [np.zeros(0, np.float32)],
+                                               V, self.posting_cap)
+                pq, pscale = quantize_postings(pw)
+                posts[0].append(pd)
+                posts[1].append(pq)
+                posts[2].append(pscale)
+        import jax.numpy as jnp
+
+        axis = self.mesh.axis_names[0]
+        sh3 = NamedSharding(self.mesh, P(axis, None, None))
+        sh2 = NamedSharding(self.mesh, P(axis, None))
+        built = [
+            jax.device_put(np.stack(sums).astype(jnp.bfloat16), sh3),
+            jax.device_put(np.stack(cdocs), sh3),
+        ]
+        if self.posting_cap:
+            built += [jax.device_put(np.stack(posts[0]), sh3),
+                      jax.device_put(np.stack(posts[1]), sh3),
+                      jax.device_put(np.stack(posts[2]), sh2)]
+        self._built = tuple(built)
+        self._doc_major = (jax.device_put(np.stack(tstk), sh3),
+                           jax.device_put(np.stack(vstk), sh3),
+                           jax.device_put(np.stack(sstk), sh2))
+        self.n_clusters = int(k_max) * D
+        self.truncated_postings = 0
+        self._base_n = n
+        self._delta_cache = None
+        self._make_search()
+        logger.info(
+            "mesh cluster index: %d docs over %d shards (%d/shard, "
+            "K<=%d each), %.0f MB total",
+            n, D, per, k_max, self.memory_bytes() / 1e6)
+
+    def search_body_and_shardings(self):
+        """(search(*arrs, q_idx, q_val, k), arr NamedShardings) — the
+        sharding/layout contract consumed by _make_search AND the serving
+        engine's mesh-fused path (which prepends the query encode under
+        the same jit)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        V = self.vocab_size
+        L = self.n_probes
+        C_p = self.posting_candidates
+        D = self.n_shards
+        per = self._shard_size
+        n = len(self.doc_ids)
+        with_post = bool(self.posting_cap)
+        k_fetch = min(self.rescore_candidates, per + 1)
+
+        def search(*args):
+            *arrs, q_idx, q_val, k = args
+            k_local = min(k, k_fetch)
+
+            def shard_search(sl):
+                if with_post:
+                    summary, cluster_docs, p0, p1, p2, dt, dv, ds = sl
+                    post = (p0, p1, p2)
+                else:
+                    summary, cluster_docs, dt, dv, ds = sl
+                    post = None
+                return cluster_search_topk(
+                    summary, cluster_docs, post, dt, dv, ds, q_idx, q_val,
+                    k_local, V, L, per, C_p)
+
+            vals, idxs = jax.vmap(shard_search)(tuple(arrs))
+            # local -> global ids; merge the D exact partial top-ks
+            B = vals.shape[1]
+            k_l = vals.shape[2]
+            idxs = idxs + (jnp.arange(D, dtype=jnp.int32) * per)[:, None, None]
+            vals = jnp.transpose(vals, (1, 0, 2)).reshape(B, D * k_l)
+            idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(B, D * k_l)
+            mvals, mpos = jax.lax.top_k(vals, min(k, D * k_l))
+            mids = jnp.take_along_axis(idxs, mpos, axis=1)
+            valid = (mids < n) & (mvals > 0)
+            return jnp.where(valid, mvals, 0.0), jnp.where(valid, mids, 0)
+
+        axis = self.mesh.axis_names[0]
+        sh3 = NamedSharding(self.mesh, P(axis, None, None))
+        sh2 = NamedSharding(self.mesh, P(axis, None))
+        arr_sh = (sh3, sh3) + ((sh3, sh3, sh2) if with_post else ()) + (
+            sh3, sh3, sh2)
+        return search, arr_sh
+
+    def _make_search(self) -> None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        search, arr_sh = self.search_body_and_shardings()
+        rep = NamedSharding(self.mesh, P())
+        n_arr = len(arr_sh)
+        jitted = jax.jit(search, static_argnums=n_arr + 2,
+                         in_shardings=arr_sh + (rep, rep),
+                         out_shardings=(rep, rep))
+        self._search_jit = lambda qi, qv, k: jitted(
+            *self._built, *self._doc_major, qi, qv, k)

@@ -149,6 +149,29 @@ def make_fused_cluster_search_fn(model, banned, top_t: int, n_docs: int,
     return fused
 
 
+def make_fused_mesh_cluster_jit(model, banned, index):
+    """Fused encode→cluster-union-search over a MeshShardedClusterIndex:
+    replicated query encode, per-shard phase0+union+exact rescore, one
+    [D, B, k] merge. Arg order matches the other fused fns
+    ((params, *arrs, ids, mask, k) -> (vals, idxs)); shardings baked in."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    search, arr_sh = index.search_body_and_shardings()
+    encode_query = _make_encode_query(model, banned, index.query_top_t)
+    rep = NamedSharding(index.mesh, P())
+    n_arr = len(arr_sh)
+
+    def fused(p, *rest):
+        *arrs, ids, mask, k = rest
+        q_val, q_idx = encode_query(p, ids, mask)
+        return search(*arrs, q_idx, q_val, k)
+
+    return jax.jit(fused, static_argnums=n_arr + 3,
+                   in_shardings=(rep,) + arr_sh + (rep, rep),
+                   out_shardings=(rep, rep))
+
+
 def make_fused_mesh_postings_jit(model, banned, index):
     """Fused encode→search over a MeshShardedPostingsIndex: the query
     encode runs replicated on every device, each shard scores its doc
@@ -267,8 +290,13 @@ class ServingEngine:
         # that is D * min(rescore, shard_size), NOT rescore (each shard
         # rescores its own pool)
         self._postings_C = self.index.max_results() if C else 0
-        from splade_tpu.ops.cluster_index import TpuClusterIndex
+        from splade_tpu.ops.cluster_index import (MeshShardedClusterIndex,
+                                                  TpuClusterIndex)
 
+        if isinstance(self.index, MeshShardedClusterIndex):
+            self._fused_jit = make_fused_mesh_cluster_jit(
+                self._model, self._banned, self.index)
+            return
         if isinstance(self.index, TpuClusterIndex):
             with_post = bool(self.index.posting_cap)
             fused = make_fused_cluster_search_fn(

@@ -231,3 +231,72 @@ class TestClusterCrud:
         b = loaded.search_topk(qi, qv, k=5)
         for ra, rb in zip(a, b):
             assert [d for d, _ in ra] == [d for d, _ in rb]
+
+
+class TestMeshClusterIndex:
+    def _exact_ids(self, d_idx, d_val, qi, qv, k=10):
+        return [set(top.tolist()) for top, _ in
+                exact_topk(d_idx, d_val, qi, qv, k)]
+
+    def test_mesh_matches_exact_and_single_device(self):
+        from splade_tpu.ops.cluster_index import MeshShardedClusterIndex
+        from splade_tpu.parallel.mesh import make_mesh
+
+        d_idx, d_val = hot_concentrated_corpus(n_docs=1000)
+        ids = [f"d{i}" for i in range(1000)]
+        qi, qv = queries(n=16, d_idx=d_idx, d_val=d_val)
+        mesh_ix = MeshShardedClusterIndex(
+            VOCAB, make_mesh(), cluster_size=16, n_probes=16,
+            query_top_t=8, posting_cap=16, posting_candidates=32)
+        mesh_ix.add_csr(ids, d_idx, d_val)
+        mesh_ix.build()
+        got = mesh_ix.search_topk(qi, qv, k=10)
+        exact = self._exact_ids(d_idx, d_val, qi, qv)
+        recalls = [len({int(d[1:]) for d, _ in got[b]} & exact[b]) / 10
+                   for b in range(16)]
+        # per-shard probing covers MORE than a single-device index with the
+        # same L (8 shards x 16 probes of ~8 clusters each = full coverage)
+        assert np.mean(recalls) >= 0.95, np.mean(recalls)
+        # returned scores are exact
+        for b, (top, s) in enumerate(exact_topk(d_idx, d_val, qi, qv, 10)):
+            for doc, score in got[b]:
+                assert abs(score - s[int(doc[1:])]) < 0.02 * abs(score) + 1e-2
+
+    def test_mesh_cluster_crud_delta(self):
+        from splade_tpu.ops.cluster_index import MeshShardedClusterIndex
+        from splade_tpu.parallel.mesh import make_mesh
+
+        d_idx, d_val = hot_concentrated_corpus(n_docs=300)
+        index = MeshShardedClusterIndex(
+            VOCAB, make_mesh(), cluster_size=16, n_probes=8, query_top_t=8)
+        index.add_csr([f"d{i}" for i in range(300)], d_idx, d_val)
+        index.build()
+        built = index._built
+        index.add("late", np.array([5, 6], np.int32),
+                  np.array([60.0, 60.0], np.float32))
+        assert index.delta_count == 1 and index._built is built
+        res = index.search_vector(np.array([5, 6], np.int32),
+                                  np.array([1.0, 1.0], np.float32), k=3)
+        assert res[0][0] == "late"
+        assert index.delete(["d0"]) == 1
+        index.compact()
+        assert len(index) == 300 and index.delta_count == 0
+        res = index.search_vector(np.array([5, 6], np.int32),
+                                  np.array([1.0, 1.0], np.float32), k=3)
+        assert res[0][0] == "late"
+
+    def test_mesh_uneven_tail_shard(self):
+        # 29 docs over 8 shards: shards of 4 docs with a 1-doc tail
+        from splade_tpu.ops.cluster_index import MeshShardedClusterIndex
+        from splade_tpu.parallel.mesh import make_mesh
+
+        d_idx, d_val = hot_concentrated_corpus(n_docs=29)
+        index = MeshShardedClusterIndex(
+            VOCAB, make_mesh(), cluster_size=8, n_probes=4, query_top_t=8)
+        index.add_csr([f"d{i}" for i in range(29)], d_idx, d_val)
+        index.build()
+        qi, qv = queries(n=4, d_idx=d_idx, d_val=d_val)
+        for res in index.search_topk(qi, qv, k=29):
+            ids = [d for d, _ in res]
+            assert len(ids) == len(set(ids))
+            assert all(d in {f"d{i}" for i in range(29)} for d in ids)

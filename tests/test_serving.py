@@ -864,3 +864,45 @@ def test_cluster_backed_engine_matches_dense(engine):
     clus_engine.delete_documents(["newdoc"])
     got = clus_engine.search_batch(["가나다 검색"], k=41)[0]
     assert "newdoc" not in [x for x, _ in got]
+
+
+def test_mesh_cluster_engine_serves_and_mutates(engine):
+    """ServingEngine over a MeshShardedClusterIndex (8 virtual devices):
+    fused mesh search matches the dense engine, and CRUD serves from the
+    shard-agnostic LSM delta."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    docs = [(f"doc{i}", f"문서 {i} 텍스트 {'가나다라마바사'[i % 7]}")
+            for i in range(40)]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.cluster_index import MeshShardedClusterIndex
+    from splade_tpu.parallel.mesh import make_mesh
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    index = MeshShardedClusterIndex(
+        VOCAB, make_mesh(), cluster_size=8, n_probes=8, query_top_t=16,
+        posting_cap=8, posting_candidates=16)
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    index.build()
+    mc_engine = ServingEngine(model, params, tok, index,
+                              query_top_k=16, query_max_length=16)
+    assert mc_engine._postings and mc_engine._postings_two_phase
+    queries = ["가나다 검색", "문서 7"]
+    dense = engine.search_batch(queries, k=5)
+    got = mc_engine.search_batch(queries, k=5)
+    for d, c in zip(dense, got):
+        assert [x for x, _ in d] == [x for x, _ in c]
+        np.testing.assert_allclose([s for _, s in d], [s for _, s in c],
+                                   rtol=5e-2)
+    mc_engine.add_documents([("newdoc", "가나다 가나다 가나다")])
+    assert index.delta_count == 1
+    got = mc_engine.search_batch(["가나다 검색"], k=41)[0]
+    assert "newdoc" in [x for x, _ in got]
+    mc_engine.delete_documents(["newdoc"])
+    got = mc_engine.search_batch(["가나다 검색"], k=41)[0]
+    assert "newdoc" not in [x for x, _ in got]
