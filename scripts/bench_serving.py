@@ -89,7 +89,8 @@ def main() -> int:
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--clients", type=int, default=64)
     p.add_argument("--requests", type=int, default=256)
-    p.add_argument("--index", default="dense", choices=["dense", "postings"])
+    p.add_argument("--index", default="dense",
+               choices=["dense", "postings", "cluster"])
     p.add_argument("--n-postings", type=int, default=2048)
     p.add_argument("--rescore", type=int, default=0,
                    help=">0 with --index postings: two-phase search (pair "
@@ -99,8 +100,8 @@ def main() -> int:
     args = p.parse_args()
     if not args.docs and not args.synthetic_docs:
         p.error("either --docs or --synthetic-docs is required")
-    if args.synthetic_docs and args.index != "postings":
-        p.error("--synthetic-docs requires --index postings")
+    if args.synthetic_docs and args.index not in ("postings", "cluster"):
+        p.error("--synthetic-docs requires --index postings|cluster")
 
     from splade_tpu.benchmark.encoders import SparseEncoderV33
     from splade_tpu.serving.engine import build_engine_from_docs
@@ -114,6 +115,7 @@ def main() -> int:
     if args.synthetic_docs:
         import numpy as np
 
+        from splade_tpu.ops.cluster_index import TpuClusterIndex
         from splade_tpu.ops.postings_index import TpuPostingsIndex
         from splade_tpu.serving.engine import ServingEngine
 
@@ -121,9 +123,12 @@ def main() -> int:
 
         rng = np.random.default_rng(0)
         n, V = args.synthetic_docs, len(tokenizer)
-        index = TpuPostingsIndex(V, n_postings=args.n_postings,
-                                 query_top_t=32,
-                                 rescore_candidates=args.rescore)
+        if args.index == "cluster":
+            index = TpuClusterIndex(V, query_top_t=32)
+        else:
+            index = TpuPostingsIndex(V, n_postings=args.n_postings,
+                                     query_top_t=32,
+                                     rescore_candidates=args.rescore)
         index.add_csr([f"d{i}" for i in range(n)],
                       *zipf_corpus_csr(rng, n, V))
         index.build()

@@ -273,6 +273,15 @@ class TpuClusterIndex(TpuPostingsIndex):
             # union's width
             rescore_candidates=n_probes * cluster_size + (
                 posting_candidates if posting_cap else 0))
+        if query_top_t * posting_cap > 4096:
+            # the union's postings side aggregates by [B, T*P] bitonic
+            # sort, which degrades sharply past E~4K (measured crossover,
+            # docs/POSTINGS_BENCH.json _sort_crossover_note)
+            logger.warning(
+                "query_top_t (%d) x posting_cap (%d) = %d > 4096: the "
+                "sort-aggregated postings side will dominate latency — "
+                "lower posting_cap (clusters carry recall here)",
+                query_top_t, posting_cap, query_top_t * posting_cap)
         self.cluster_size = cluster_size
         self.n_probes = n_probes
         self.posting_cap = posting_cap
