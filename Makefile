@@ -18,7 +18,7 @@ test:
 	$(PYTHON) -m pytest tests/ -q
 
 test-fast:
-	$(PYTHON) -m pytest tests/ -q -x -k "not parity and not trainer_end"
+	$(PYTHON) -m pytest tests/ -q -x -k "not parity and not trainer_end and not tiny_schema and not multihost"
 
 # ------------------------------------------------------------------ training
 train:
@@ -77,6 +77,21 @@ bench-mlm-variants:  # MLM-step throughput grid
 
 splash-parity:  # splash-vs-sdpa numerics at full flagship size (TPU)
 	$(PYTHON) scripts/verify_splash_parity.py
+
+analyzer-sensitivity:  # BM25 analyzer experiment on the 1.2K-doc morphology fixture (CPU)
+	JAX_PLATFORMS=cpu $(PYTHON) scripts/analyzer_sensitivity.py
+
+dispatch-bracket:  # measure the colocated-dispatch term of the serving estimate (CPU)
+	JAX_PLATFORMS=cpu $(PYTHON) scripts/measure_dispatch_overhead.py
+
+pod-sim:  # full-flagship 22L/768/50K GSPMD step on the 8-virtual-device mesh (CPU)
+	JAX_PLATFORMS=cpu $(PYTHON) scripts/pod_sim_full_size.py
+
+lambda-completion:  # production-shape training run to steady-state sparsity (TPU)
+	bash scripts/run_lambda_completion.sh
+
+recall-1m:  # candidate-coverage recall + QPS on real encoder vectors (TPU)
+	$(PYTHON) scripts/recall_encoder_1m.py $(RECALL_ARGS)
 
 # ------------------------------------------------------------------ offline tier
 preprocess:
