@@ -253,10 +253,11 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
         print(f"{args.index}={P}: build {build_s:.0f}s "
               f"(truncated {index.truncated_postings})", flush=True)
 
-        # Warmup (compile) on a small slice so search_s/QPS reflect the
-        # steady state, not trace+compile (VERDICT r2 #2: persist QPS at
-        # the honest operating point).
-        index.search_topk(q_idx[:8], q_val[:8], k=args.k)
+        # Warmup (compile) at the SAME batch shape as the timed call —
+        # jit recompiles per shape, so a small-slice warmup would leave
+        # trace+compile inside the timed region (VERDICT r2 #2: persist
+        # QPS at the honest operating point).
+        index.search_topk(q_idx, q_val, k=args.k)
         t0 = time.time()
         got = index.search_topk(q_idx, q_val, k=args.k)
         search_s = time.time() - t0

@@ -4,7 +4,11 @@
 # supervisor + hang watchdog until max_steps (configs/prod_shape_run.yaml).
 set -euo pipefail
 DATA=${DATA:-/tmp/vdata}
-if [ ! -f "$DATA/train_000.jsonl" ]; then
+# regenerate unless a production-size corpus is already there — the same
+# path may hold the 64-triplet verify-skill smoke data, whose presence
+# must not satisfy this check (observed round 3: it did)
+lines=$(cat "$DATA"/train_*.jsonl 2>/dev/null | wc -l)
+if [ "$lines" -lt 50000 ]; then
   JAX_PLATFORMS=cpu python scripts/make_synth_triplets.py --out "$DATA" --n 60000
 fi
 CONFIG=${CONFIG:-configs/prod_shape_run.yaml} MAX_RESTARTS=${MAX_RESTARTS:-8} \

@@ -95,37 +95,44 @@ class BenchmarkRunner:
             fingerprint=np.asarray(self._encoder_fingerprint()))
         logger.info("saved encodings -> %s", path)
 
-    def load_encodings(self, path: str) -> None:
+    def load_encodings(self, path: str) -> bool:
+        """Returns True iff the cache was usable (caller re-saves on
+        False so a legacy/stale file is overwritten, not kept forever)."""
         import numpy as np
 
+        # np.load(allow_pickle=False) on an npz does NOT raise eagerly —
+        # pickle enforcement happens lazily per-array access — so every
+        # z[...] access below stays inside the try. A legacy object-array
+        # cache (or one with a different schema) must degrade to a
+        # re-encode, never abort the benchmark.
         try:
             z = np.load(path, allow_pickle=False)
-        except ValueError as e:
-            if "pickle" in str(e).lower():
-                # legacy object-array cache: loading it would need
-                # allow_pickle=True (arbitrary code execution from an
-                # untrusted file) — it is only a cache, so re-encode
+            fp = str(z["fingerprint"]) if "fingerprint" in z.files else ""
+            want = self._encoder_fingerprint()
+            if fp != want:
                 logger.warning(
-                    "ignoring legacy pickled encodings cache %s — the "
-                    "corpus will re-encode and overwrite it with the "
-                    "pickle-free format", path)
-                return
-            raise
-        fp = str(z["fingerprint"]) if "fingerprint" in z.files else ""
-        want = self._encoder_fingerprint()
-        if fp != want:
+                    "ignoring encodings cache %s: built by %r but this run "
+                    "uses %r — pass the matching --checkpoint to reuse it "
+                    "(the corpus will re-encode and overwrite)",
+                    path, fp or "<unfingerprinted legacy cache>", want)
+                return False
+            bounds = np.cumsum(z["lens"])[:-1]
+            self._encoded = ([str(d) for d in z["doc_ids"]],
+                             list(zip(np.split(z["indices"], bounds),
+                                      np.split(z["values"], bounds))))
+        except (ValueError, KeyError) as e:
+            # ValueError: object array hit with allow_pickle=False (a
+            # legacy pickled cache — loading it would be an arbitrary-
+            # code-execution vector, it is only a cache so re-encode);
+            # KeyError: pre-lens schema. Either way: rebuild.
             logger.warning(
-                "ignoring encodings cache %s: built by %r but this run "
-                "uses %r — delete the file or pass the matching "
-                "--checkpoint to reuse it (the corpus will re-encode)",
-                path, fp or "<unfingerprinted legacy cache>", want)
-            return
-        bounds = np.cumsum(z["lens"])[:-1]
-        self._encoded = ([str(d) for d in z["doc_ids"]],
-                         list(zip(np.split(z["indices"], bounds),
-                                  np.split(z["values"], bounds))))
+                "ignoring unusable encodings cache %s (%s) — the corpus "
+                "will re-encode and overwrite it with the pickle-free "
+                "format", path, e)
+            return False
         logger.info("loaded %d encoded docs from %s",
                     len(self._encoded[0]), path)
+        return True
 
     @staticmethod
     def _memoize_query_encodes(encoder, method_name: str) -> None:
@@ -426,10 +433,12 @@ def main(argv: Optional[list] = None) -> int:
         # np.savez_compressed appends .npz; normalize up front so the
         # exists() checks and the save agree on one path
         args.encodings += ".npz"
-    if args.encodings and Path(args.encodings).exists():
-        runner.load_encodings(args.encodings)
+    cache_loaded = (Path(args.encodings).exists()
+                    and runner.load_encodings(args.encodings)
+                    if args.encodings else False)
     summary = runner.run()
-    if args.encodings and not Path(args.encodings).exists():
+    if args.encodings and not cache_loaded:
+        # also overwrites a legacy/stale cache load_encodings rejected
         runner.save_encodings(args.encodings)
     tests = runner.statistical_tests()
     runner.save(summary, tests)

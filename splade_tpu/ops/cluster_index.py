@@ -31,11 +31,14 @@ term truncation anywhere, so hot-term mass cannot be lost. Mapped to TPU:
   CSR kernel (``exact_rescore``) — final scores are exact, recall is
   bounded only by cluster coverage.
 
-Clustering is dominant-term grouping: documents sharing their strongest
-activation (SPLADE's most semantically loaded term), sub-sorted by their
-second-strongest, chunked into size-G clusters. O(N log N) host-side,
-no iterative k-means, and cohesive exactly where SPLADE concentrates
-mass. Memory: the [V, K] bf16 summary is ~1.6 GB at 1M docs (G=64) —
+Clustering is balanced recursive bisection in random-projection space
+(``assign_clusters``): each doc is projected onto r random directions
+and segments are median-split along the per-level maximum-spread
+dimension until every segment fits G docs — grouping docs that are
+close in the actual dot-product scoring geometry, regime-agnostically
+(term-keyed grouping was tried and rejected; see ``assign_clusters``).
+O(N log N) host-side, no iterative k-means, balanced by construction.
+Memory: the [V, K] bf16 summary is ~1.6 GB at 1M docs (G=64) —
 fine single-chip; 10M-doc corpora shard docs over a mesh (per-shard
 clusters), same as MeshShardedPostingsIndex.
 
@@ -56,6 +59,7 @@ from splade_tpu.ops.postings_index import (
     TpuPostingsIndex,
     exact_rescore,
     invert_to_postings,
+    merge_sharded_topk,
     postings_score_topk,
     quantize_postings,
     sparse_query_dense,
@@ -365,6 +369,8 @@ class TpuClusterIndex(TpuPostingsIndex):
         return min(n, self.rescore_candidates)
 
     # --------------------------------------------------------- persistence
+    _SAVE_KIND = "cluster"
+
     def _config_array(self) -> np.ndarray:
         return np.asarray([self.vocab_size, self.cluster_size,
                            self.n_probes, self.query_top_t,
@@ -376,6 +382,12 @@ class TpuClusterIndex(TpuPostingsIndex):
         vocab, G, L, top_t, P, C_p = (int(x) for x in cfg)
         return vocab, dict(cluster_size=G, n_probes=L, query_top_t=top_t,
                            posting_cap=P, posting_candidates=C_p)
+
+    def config_summary(self) -> str:
+        return (f"cluster_size={self.cluster_size} "
+                f"n_probes={self.n_probes} query_top_t={self.query_top_t} "
+                f"posting_cap={self.posting_cap} "
+                f"posting_candidates={self.posting_candidates}")
 
 
 class MeshShardedClusterIndex(TpuClusterIndex):
@@ -423,10 +435,14 @@ class MeshShardedClusterIndex(TpuClusterIndex):
         M = max((len(x) for x in self._doc_idx), default=1)
         sums, cdocs, tstk, vstk, sstk = [], [], [], [], []
         posts = [[], [], []]
-        k_max = max(-(-min(per, max(n - d * per, 1)) // G) for d in range(D))
+        shard_ks: list[int] = []
+        import jax.numpy as _jnp
+
         # every shard's phase 0 runs under one vmap: pad K to the widest
-        # shard (pad clusters are all-pad-doc with -inf summary... 0 works:
-        # a 0-score cluster may be probed but expands only pad docs)
+        # shard (pad clusters are all-pad-doc with 0 summary: a 0-score
+        # cluster may be probed but expands only pad docs). K comes from
+        # assign_clusters' balanced bisection (2^ceil(log2(docs/G))), NOT
+        # ceil(docs/G), so collect per-shard Ks first and pad afterwards.
         for d in range(D):
             lo, hi = d * per, min((d + 1) * per, n)
             di = self._doc_idx[lo:hi]
@@ -439,12 +455,10 @@ class MeshShardedClusterIndex(TpuClusterIndex):
                 K = 1
                 summary = np.zeros((V, 1), np.float32)
                 cluster_docs = np.full((1, G), per, np.int32)
-            if K < k_max:
-                summary = np.pad(summary, ((0, 0), (0, k_max - K)))
-                cluster_docs = np.pad(cluster_docs,
-                                      ((0, k_max - K), (0, 0)),
-                                      constant_values=per)
-            sums.append(summary.astype(np.float16))  # stacked later as bf16
+            shard_ks.append(K)
+            # stage as bf16 (the device dtype) — NOT f16, whose 65504 max
+            # would overflow to inf for large impact sums
+            sums.append(summary.astype(_jnp.bfloat16))
             cdocs.append(cluster_docs)
             terms, q, dscale = self._doc_major_arrays(di, dv, hi - lo, M=M)
             if (hi - lo) < per:
@@ -471,11 +485,19 @@ class MeshShardedClusterIndex(TpuClusterIndex):
                 posts[2].append(pscale)
         import jax.numpy as jnp
 
+        k_max = max(shard_ks)
+        for d in range(D):
+            K = shard_ks[d]
+            if K < k_max:
+                sums[d] = np.pad(sums[d], ((0, 0), (0, k_max - K)))
+                cdocs[d] = np.pad(cdocs[d], ((0, k_max - K), (0, 0)),
+                                  constant_values=per)
+
         axis = self.mesh.axis_names[0]
         sh3 = NamedSharding(self.mesh, P(axis, None, None))
         sh2 = NamedSharding(self.mesh, P(axis, None))
         built = [
-            jax.device_put(np.stack(sums).astype(jnp.bfloat16), sh3),
+            jax.device_put(np.stack(sums), sh3),
             jax.device_put(np.stack(cdocs), sh3),
         ]
         if self.posting_cap:
@@ -486,7 +508,7 @@ class MeshShardedClusterIndex(TpuClusterIndex):
         self._doc_major = (jax.device_put(np.stack(tstk), sh3),
                            jax.device_put(np.stack(vstk), sh3),
                            jax.device_put(np.stack(sstk), sh2))
-        self.n_clusters = int(k_max) * D
+        self.n_clusters = int(sum(shard_ks))
         self.truncated_postings = 0
         self._base_n = n
         self._delta_cache = None
@@ -530,16 +552,11 @@ class MeshShardedClusterIndex(TpuClusterIndex):
                     k_local, V, L, per, C_p)
 
             vals, idxs = jax.vmap(shard_search)(tuple(arrs))
-            # local -> global ids; merge the D exact partial top-ks
-            B = vals.shape[1]
-            k_l = vals.shape[2]
-            idxs = idxs + (jnp.arange(D, dtype=jnp.int32) * per)[:, None, None]
-            vals = jnp.transpose(vals, (1, 0, 2)).reshape(B, D * k_l)
-            idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(B, D * k_l)
-            mvals, mpos = jax.lax.top_k(vals, min(k, D * k_l))
-            mids = jnp.take_along_axis(idxs, mpos, axis=1)
-            valid = (mids < n) & (mvals > 0)
-            return jnp.where(valid, mvals, 0.0), jnp.where(valid, mids, 0)
+            # one owner of the cross-shard merge contract (postings_index):
+            # require_positive drops pad docs, whose global id collides
+            # with the next shard's first real doc
+            return merge_sharded_topk(vals, idxs, k, per, n,
+                                      require_positive=True)
 
         axis = self.mesh.axis_names[0]
         sh3 = NamedSharding(self.mesh, P(axis, None, None))

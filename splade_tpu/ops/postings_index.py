@@ -242,6 +242,35 @@ def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
     return vals, jnp.take_along_axis(cand, pos, axis=1)
 
 
+def merge_sharded_topk(vals, idxs, k, shard_size, n_docs,
+                       require_positive: bool = False):
+    """Merge [D, B, k_local] per-shard exact partial top-ks into a global
+    [B, min(k, D*k_local)]: local -> global doc ids, transpose, one
+    top_k, then invalid-row masking. The only cross-device traffic on
+    the mesh search paths — ONE owner of the cross-shard merge contract,
+    shared by MeshShardedPostingsIndex and MeshShardedClusterIndex.
+
+    ``require_positive`` additionally drops 0-score rows: the cluster
+    index's pad docs live at local id ``shard_size`` whose GLOBAL id
+    collides with a real doc of the next shard, so the id bound alone
+    cannot filter them — their 1e-6-scale zero score can.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    D, B, k_local = vals.shape
+    idxs = idxs + (jnp.arange(D, dtype=jnp.int32)
+                   * shard_size)[:, None, None]
+    vals = jnp.transpose(vals, (1, 0, 2)).reshape(B, D * k_local)
+    idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(B, D * k_local)
+    mvals, mpos = jax.lax.top_k(vals, min(k, D * k_local))
+    mids = jnp.take_along_axis(idxs, mpos, axis=1)
+    valid = mids < n_docs
+    if require_positive:
+        valid = valid & (mvals > 0)
+    return jnp.where(valid, mvals, 0.0), jnp.where(valid, mids, 0)
+
+
 def make_mesh_postings_search_fns(n_shards: int, shard_size: int, n_docs: int,
                                   vocab_size: int, n_candidates: int,
                                   approx: bool, acc_dtype, scoring: str):
@@ -256,17 +285,6 @@ def make_mesh_postings_search_fns(n_shards: int, shard_size: int, n_docs: int,
 
     D, per, n, V, C = n_shards, shard_size, n_docs, vocab_size, n_candidates
 
-    def merge(vals, idxs, k, k_local):
-        # local -> global doc ids, then merge the D partial top-ks
-        B = vals.shape[1]
-        idxs = idxs + (jnp.arange(D, dtype=jnp.int32) * per)[:, None, None]
-        vals = jnp.transpose(vals, (1, 0, 2)).reshape(B, D * k_local)
-        idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(B, D * k_local)
-        mvals, mpos = jax.lax.top_k(vals, min(k, D * k_local))
-        mids = jnp.take_along_axis(idxs, mpos, axis=1)
-        valid = mids < n
-        return jnp.where(valid, mvals, 0.0), jnp.where(valid, mids, 0)
-
     def search(post_docs, post_w, scale, q_idx, q_val, k):
         k_local = min(k, per)  # a shard can contribute at most `per` docs
 
@@ -278,7 +296,7 @@ def make_mesh_postings_search_fns(n_shards: int, shard_size: int, n_docs: int,
         vals, idxs = jax.vmap(shard_search)(post_docs, post_w, scale)
         # sort scoring caps a shard's output at its T*P pool, which can be
         # below k_local — merge on the width actually returned
-        return merge(vals, idxs, k, vals.shape[2])
+        return merge_sharded_topk(vals, idxs, k, per, n)
 
     def search_two_phase(post_docs, post_w, scale, d_terms, d_vals,
                          d_scale, q_idx, q_val, k):
@@ -293,7 +311,7 @@ def make_mesh_postings_search_fns(n_shards: int, shard_size: int, n_docs: int,
 
         vals, idxs = jax.vmap(shard_search)(post_docs, post_w, scale,
                                             d_terms, d_vals, d_scale)
-        return merge(vals, idxs, k, vals.shape[2])
+        return merge_sharded_topk(vals, idxs, k, per, n)
 
     return search, search_two_phase
 
@@ -686,12 +704,23 @@ class TpuPostingsIndex:
                                 np.asarray(values)[None], k)[0]
 
     # --------------------------------------------------------- persistence
+    #: archive format discriminator — subclasses with a different config
+    #: layout MUST override, so loading a cache with the wrong class fails
+    #: with a clear message instead of an opaque unpack error
+    _SAVE_KIND = "postings"
+
     def _config_array(self) -> np.ndarray:
         """Index hyperparameters persisted alongside the corpus; paired
         with ``_config_kwargs`` (subclasses override both)."""
         return np.asarray([self.vocab_size, self.n_postings,
                            self.query_top_t, self.rescore_candidates],
                           np.int64)
+
+    def config_summary(self) -> str:
+        """Human-readable shape line for operator logs."""
+        return (f"n_postings={self.n_postings} "
+                f"query_top_t={self.query_top_t} "
+                f"rescore={self.rescore_candidates}")
 
     @classmethod
     def _config_kwargs(cls, cfg: np.ndarray):
@@ -726,6 +755,7 @@ class TpuPostingsIndex:
                 vals=np.concatenate(self._doc_val) if len(lens) else
                 np.zeros(0, np.float32),
                 config=self._config_array(),
+                kind=np.asarray(self._SAVE_KIND),
             )
         import os
 
@@ -752,6 +782,18 @@ class TpuPostingsIndex:
                     "caches load with allow_pickle=False.") from e
             raise
         with z_ctx as z:
+            # `kind` discriminates archive formats (postings vs cluster
+            # config layouts); archives from before the field infer it
+            # from the config width so the error is still explicit
+            kind = (str(z["kind"]) if "kind" in z.files
+                    else {4: "postings", 6: "cluster"}.get(
+                        len(z["config"]), "?"))
+            if kind != cls._SAVE_KIND:
+                raise ValueError(
+                    f"{path} is a {kind!r} index cache but "
+                    f"{cls.__name__}.load expects {cls._SAVE_KIND!r} — "
+                    "load it with the matching index class (server: "
+                    f"--index {kind})")
             vocab, kw = cls._config_kwargs(z["config"])
             kw.update(overrides)
             index = cls(vocab, **kw)

@@ -14,11 +14,14 @@ classification / dialog / AI-Hub sources, base.py:11-102). Conversion rules:
 
 from __future__ import annotations
 
+import logging
 import random
 from collections import defaultdict
 from typing import Dict, Iterable, List, Optional
 
 from splade_tpu.preprocessing.types import RawSample, Triplet
+
+logger = logging.getLogger(__name__)
 
 
 class BaseConverter:
@@ -104,6 +107,22 @@ class STSConverter(BaseConverter):
         src = samples[0].source if samples else ""
         raw = [float(s.fields.get("score", 0.0)) for s in samples]
         normalized = bool(raw) and self._is_normalized(raw)
+        if (self.normalized is None and raw and not normalized
+                and max(raw) <= 1.0):
+            # ambiguous: every score fits a 0-1 scale but autodetect
+            # declined (small batch, or only {0,1} values — e.g. a
+            # binary-similarity dataset, whose 1.0 pairs would silently
+            # become NEGATIVES on the assumed 0-5 scale). Never guess
+            # silently: tell the caller to state the scale.
+            logger.warning(
+                "STSConverter(%s): all %d scores <= 1.0 but autodetect "
+                "declined to rescale (%s); treating as 0-%g scale — pass "
+                "normalized=True/False explicitly if this is wrong",
+                src, len(raw),
+                "no fractional score in (0,1)"
+                if len(raw) >= self.MIN_AUTODETECT_SAMPLES
+                else f"fewer than {self.MIN_AUTODETECT_SAMPLES} samples",
+                self.scale)
         for s, score in zip(samples, raw):
             f = s.fields
             if normalized:

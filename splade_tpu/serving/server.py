@@ -218,18 +218,21 @@ def main(argv: Optional[list] = None) -> int:
                    help="JSONL corpus: {\"id\": ..., \"text\"|\"contents\": ...}"
                         " (optional when --index-cache exists)")
     p.add_argument("--index-cache", default=None,
-                   help="path to a persisted index (postings only): load it "
-                        "if present — skipping corpus re-encoding, the "
-                        "startup cost at scale — else encode + build + save")
+                   help="path to a persisted index (postings or cluster): "
+                        "load it if present — skipping corpus re-encoding, "
+                        "the startup cost at scale — else encode + build + "
+                        "save")
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--int8", action="store_true", default=True)
     p.add_argument("--no-int8", dest="int8", action="store_false")
-    p.add_argument("--index", default=None, choices=["dense", "postings"],
-                   help="dense [N,V] matmul (<~300K docs) or truncated "
-                        "postings (million-doc corpora). Default: dense, "
-                        "or postings when an --index-cache exists")
+    p.add_argument("--index", default=None,
+                   choices=["dense", "postings", "cluster"],
+                   help="dense [N,V] matmul (<~300K docs), truncated "
+                        "postings, or cluster-summary union index "
+                        "(million-doc corpora). Default: dense, or the "
+                        "cache's own kind when an --index-cache exists")
     p.add_argument("--n-postings", type=int, default=2048)
     p.add_argument("--rescore", type=int, default=0,
                    help=">0 with --index postings: two-phase search — this "
@@ -259,19 +262,34 @@ def main(argv: Optional[list] = None) -> int:
     # restart would silently re-encode the corpus)
     index_kind = args.index or ("postings" if args.index_cache else "dense")
     if cache_hit:
+        import numpy as np
+
+        from splade_tpu.ops.cluster_index import TpuClusterIndex
         from splade_tpu.ops.postings_index import TpuPostingsIndex
         from splade_tpu.serving.engine import ServingEngine
 
         if index_kind == "dense":
-            p.error("--index dense cannot load a postings --index-cache; "
-                    "remove the cache file or use --index postings")
-        logger.info("loading persisted index %s ...", args.index_cache)
-        index = TpuPostingsIndex.load(args.index_cache)
+            p.error("--index dense cannot load a persisted --index-cache; "
+                    "remove the cache file or use --index postings/cluster")
+        # the archive knows its own kind — dispatch on it so a cluster
+        # cache is served by the cluster class (and a mismatching
+        # explicit --index errors clearly instead of unpack-crashing)
+        with np.load(args.index_cache, allow_pickle=False) as z:
+            cache_kind = (str(z["kind"]) if "kind" in z.files
+                          else {4: "postings", 6: "cluster"}.get(
+                              len(z["config"]), "postings"))
+        if args.index and args.index != cache_kind:
+            p.error(f"--index {args.index} conflicts with {args.index_cache}"
+                    f" (a {cache_kind!r} cache); drop --index or rebuild")
+        cls = (TpuClusterIndex if cache_kind == "cluster"
+               else TpuPostingsIndex)
+        logger.info("loading persisted %s index %s ...",
+                    cache_kind, args.index_cache)
+        index = cls.load(args.index_cache)
         logger.warning(
-            "persisted index config wins: n_postings=%d query_top_t=%d "
-            "rescore=%d (CLI --n-postings/--rescore are IGNORED with an "
-            "existing --index-cache; delete the cache to re-shape)",
-            index.n_postings, index.query_top_t, index.rescore_candidates)
+            "persisted index config wins (CLI shape flags are IGNORED "
+            "with an existing --index-cache; delete the cache to "
+            "re-shape): %s", index.config_summary())
         engine = ServingEngine(enc.model, enc.params, tokenizer, index,
                                query_top_k=args.query_top_k)
     else:

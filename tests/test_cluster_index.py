@@ -285,6 +285,47 @@ class TestMeshClusterIndex:
                                   np.array([1.0, 1.0], np.float32), k=3)
         assert res[0][0] == "late"
 
+    def test_mesh_bisection_k_exceeds_ceil(self):
+        # Regression: per=130 docs/shard at G=64 bisects into K=4 clusters
+        # (2^ceil(log2(130/64))), NOT ceil(130/64)=3 — and the 124-doc
+        # tail yields K=2. build() must pad every shard to the max actual
+        # K; the old ceil-based precompute crashed np.stack.
+        from splade_tpu.ops.cluster_index import MeshShardedClusterIndex
+        from splade_tpu.parallel.mesh import make_mesh
+
+        n = 1034
+        d_idx, d_val = hot_concentrated_corpus(n_docs=n)
+        index = MeshShardedClusterIndex(
+            VOCAB, make_mesh(), cluster_size=64, n_probes=8, query_top_t=8)
+        index.add_csr([f"d{i}" for i in range(n)], d_idx, d_val)
+        index.build()  # old code: ValueError from np.stack shape mismatch
+        assert index.n_clusters == 7 * 4 + 2  # actual Ks, not k_max * D
+        qi, qv = queries(n=4, d_idx=d_idx, d_val=d_val)
+        for res in index.search_topk(qi, qv, k=10):
+            ids = [d for d, _ in res]
+            assert len(ids) == len(set(ids))
+
+    def test_mesh_summary_value_above_f16_max(self):
+        # Regression: summaries were staged through float16, so an impact
+        # > 65504 overflowed to inf and that cluster was ALWAYS probed.
+        # bf16 staging keeps it finite (and equal to the device dtype).
+        from splade_tpu.ops.cluster_index import MeshShardedClusterIndex
+        from splade_tpu.parallel.mesh import make_mesh
+
+        d_idx, d_val = hot_concentrated_corpus(n_docs=64)
+        d_val = [v.copy() for v in d_val]
+        d_val[3][0] = 70000.0  # above f16 max, fine in bf16
+        index = MeshShardedClusterIndex(
+            VOCAB, make_mesh(), cluster_size=8, n_probes=4, query_top_t=8)
+        index.add_csr([f"d{i}" for i in range(64)], d_idx, d_val)
+        index.build()
+        assert np.isfinite(
+            np.asarray(index._built[0], np.float32)).all()
+        qi = np.array([[d_idx[3][0]]], np.int32)
+        qv = np.array([[1.0]], np.float32)
+        res = index.search_topk(qi, qv, k=3)[0]
+        assert res[0][0] == "d3" and np.isfinite(res[0][1])
+
     def test_mesh_uneven_tail_shard(self):
         # 29 docs over 8 shards: shards of 4 docs with a 1-doc tail
         from splade_tpu.ops.cluster_index import MeshShardedClusterIndex
