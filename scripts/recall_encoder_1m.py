@@ -100,10 +100,14 @@ def main() -> int:
                         "small corpus defaults — exercises the full "
                         "pipeline and the JSON schema, not the numbers")
     args = p.parse_args()
-    if args.tiny:
-        from splade_tpu.utils.runtime import force_cpu_if_requested
+    # env-gated no-op on TPU runs; REQUIRED for any JAX_PLATFORMS=cpu run
+    # (this host's sitecustomize force-registers the TPU plugin, and a
+    # cpu-env run without the config override wedges at backend init
+    # whenever the tunnel relay is down — observed round 3)
+    from splade_tpu.utils.runtime import force_cpu_if_requested
 
-        force_cpu_if_requested()
+    force_cpu_if_requested()
+    if args.tiny:
         if args.docs == 1_000_000:
             args.docs = 2000
         args.queries = min(args.queries, 16)
