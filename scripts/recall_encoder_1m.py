@@ -87,6 +87,10 @@ def main() -> int:
     p.add_argument("--posting-cap", type=int, default=64,
                    help="cluster index union: side-postings cap (0 = off)")
     p.add_argument("--posting-candidates", type=int, default=128)
+    p.add_argument("--posting-scoring", default="auto",
+                   choices=["auto", "sort", "scatter"],
+                   help="cluster union phase-1b aggregation (auto: sort "
+                        "iff query_top_t*posting_cap <= 4096)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--checkpoint", default="/tmp/vrun/final_model",
                    help="trained checkpoint dir (falls back to random init)")
@@ -95,6 +99,18 @@ def main() -> int:
     p.add_argument("--enc-cache", default="",
                    help="npz path caching the encoded doc/query CSR so "
                         "P/C re-runs skip the ~18-min 1M-doc encode pass")
+    p.add_argument("--corpus", default="zipf", choices=["zipf", "topical"],
+                   help="token sampling for the synthetic corpus: pure "
+                        "Zipf (structureless — candidate recall is then "
+                        "bound by pool size alone, the adversarial case "
+                        "for ANY cluster/IVF method) or topical (each doc "
+                        "draws most tokens from a topic-specific vocab "
+                        "block — the structure real corpora have and "
+                        "cluster summaries exploit)")
+    p.add_argument("--topics", type=int, default=1000)
+    p.add_argument("--topic-frac", type=float, default=0.7,
+                   help="fraction of a topical doc's tokens drawn from "
+                        "its topic block (rest: global Zipf)")
     p.add_argument("--tiny", action="store_true",
                    help="CPU-testable mode: tiny random-init encoder, "
                         "small corpus defaults — exercises the full "
@@ -125,6 +141,7 @@ def main() -> int:
         q_idx, q_val = z["q_idx"], z["q_val"]
         weights_src = str(z["weights_src"])
         V = int(z["vocab_size"])
+        args.corpus = str(z["corpus"]) if "corpus" in z.files else "zipf"
         args.docs, args.queries = d_idx.shape[0], q_idx.shape[0]
         args.doc_top_k, args.query_top_k = d_idx.shape[1], q_idx.shape[1]
         print(f"loaded encode cache {cache} ({args.docs} docs)", flush=True)
@@ -143,14 +160,33 @@ def main() -> int:
 
     encode_jit = jax.jit(encode_topk, static_argnums=3)
 
-    # Zipf-ish token sampling over the 50K vocab (excluding specials at the
-    # vocab tail), correlated doc topics via per-doc offset mixtures.
+    # Zipf-ish token sampling over the 50K vocab (excluding specials at
+    # the vocab tail). --corpus topical adds the block structure real
+    # corpora have: each doc draws `topic_frac` of its tokens from a
+    # topic-specific 2K-token block (Zipf within the block), the rest
+    # from the global Zipf; queries are drawn the same way, so a query's
+    # true neighbors are concentrated in its topic.
     rng = np.random.default_rng(0)
-    zipf_p = 1.0 / np.arange(1, V - 100 + 1) ** 0.9
+    V_eff = V - 100
+    zipf_p = 1.0 / np.arange(1, V_eff + 1) ** 0.9
     zipf_p /= zipf_p.sum()
+    BLOCK = min(2048, max(V_eff // 4, 1))  # tiny-vocab (--tiny) safe
+    block_p = 1.0 / np.arange(1, BLOCK + 1) ** 0.9
+    block_p /= block_p.sum()
+    # per-topic block start: spread pseudo-randomly over the vocab so
+    # blocks overlap across topics (shared vocabulary, like real text)
+    topic_start = (np.random.default_rng(1)
+                   .integers(0, V_eff - BLOCK, size=args.topics))
 
     def sample_batch(n, L):
-        ids = rng.choice(V - 100, size=(n, L), p=zipf_p).astype(np.int32)
+        ids = rng.choice(V_eff, size=(n, L), p=zipf_p).astype(np.int32)
+        if args.corpus == "topical":
+            topics = rng.integers(0, args.topics, size=(n,))
+            t_ids = (topic_start[topics][:, None]
+                     + rng.choice(BLOCK, size=(n, L), p=block_p)
+                     ).astype(np.int32)
+            from_topic = rng.random((n, L)) < args.topic_frac
+            ids = np.where(from_topic, t_ids, ids)
         lengths = rng.integers(L // 4, L + 1, size=(n,))
         mask = (np.arange(L)[None] < lengths[:, None]).astype(np.int32)
         return np.where(mask > 0, ids, cfg.pad_token_id), mask
@@ -196,7 +232,7 @@ def main() -> int:
     if cache is not None:
         np.savez_compressed(cache, d_idx=d_idx, d_val=d_val, q_idx=q_idx,
                             q_val=q_val, weights_src=weights_src,
-                            vocab_size=V)
+                            vocab_size=V, corpus=args.corpus)
         print(f"wrote encode cache {cache}", flush=True)
     run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all)
     return 0
@@ -236,13 +272,27 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
         sweep = [int(x) for x in str(args.probes).split(",")]
     else:
         sweep = [int(x) for x in str(args.n_postings).split(",")]
+    index = None
     for P in sweep:
         t0 = time.time()
         if args.index == "cluster":
-            index = TpuClusterIndex(
-                V, cluster_size=args.cluster_size, n_probes=P,
-                query_top_t=args.query_top_k, posting_cap=args.posting_cap,
-                posting_candidates=args.posting_candidates)
+            if index is not None:
+                # clustering/summaries/postings are probe-independent:
+                # later sweep points swap only the jitted search (L is a
+                # static shape) instead of paying the build again
+                index.set_probes(P)
+                build_s = time.time() - t0
+                print(f"cluster={P}: reusing build "
+                      f"(+{build_s:.1f}s re-jit)", flush=True)
+                ran_build = False
+            else:
+                index = TpuClusterIndex(
+                    V, cluster_size=args.cluster_size, n_probes=P,
+                    query_top_t=args.query_top_k,
+                    posting_cap=args.posting_cap,
+                    posting_candidates=args.posting_candidates,
+                    posting_scoring=args.posting_scoring)
+                ran_build = True
         else:
             # scoring="auto": sort only in the small-pool regime
             # (T*P<=4096); at P=512 the [B,T*P] bitonic sort does not
@@ -251,11 +301,13 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
             index = TpuPostingsIndex(
                 V, n_postings=P, query_top_t=args.query_top_k,
                 rescore_candidates=args.rescore, scoring="auto")
-        index.add_csr([str(i) for i in range(args.docs)], d_idx, d_val)
-        index.build()
-        build_s = time.time() - t0
-        print(f"{args.index}={P}: build {build_s:.0f}s "
-              f"(truncated {index.truncated_postings})", flush=True)
+            ran_build = True
+        if ran_build:
+            index.add_csr([str(i) for i in range(args.docs)], d_idx, d_val)
+            index.build()
+            build_s = time.time() - t0
+            print(f"{args.index}={P}: build {build_s:.0f}s "
+                  f"(truncated {index.truncated_postings})", flush=True)
 
         # Warmup (compile) at the SAME batch shape as the timed call —
         # jit recompiles per shape, so a small-slice warmup would leave
@@ -279,6 +331,7 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
             "device": str(jax.devices()[0]),
             "weights": weights_src,
             "docs": args.docs, "queries": args.queries,
+            "corpus": getattr(args, "corpus", "zipf"),
             "doc_top_k": args.doc_top_k, "query_top_k": args.query_top_k,
             "mean_doc_nnz": round(mean_nnz, 1),
             "recall": round(recall, 4),
@@ -293,6 +346,7 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
                 "n_clusters": index.n_clusters,
                 "posting_cap": args.posting_cap,
                 "posting_candidates": args.posting_candidates,
+                "posting_scoring": index.posting_scoring,
                 "candidate_pool": index.rescore_candidates,
             })
             key_sfx = f"probes{P}"

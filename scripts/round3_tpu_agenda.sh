@@ -44,12 +44,27 @@ if ! done_ bench; then
 fi
 
 if ! done_ cluster; then
+  # recall/QPS trade-off curve on the structureless (worst-case) corpus;
+  # ONE build, probes swept via set_probes
   echo "[agenda] stage cluster $(date -u +%T)" >>"$LOG"
   timeout 5400 python scripts/recall_encoder_1m.py --index cluster \
-    --enc-cache /tmp/enc_run2.npz --probes 16,32,64,128 \
+    --enc-cache /tmp/enc_run2.npz --probes 32,64,128,256 \
     --key encoder_vectors_1m_cluster \
     >/tmp/r3_cluster.log 2>&1 && mark cluster
-  tail -8 /tmp/r3_cluster.log >>"$LOG"
+  tail -10 /tmp/r3_cluster.log >>"$LOG"
+fi
+
+if ! done_ cluster_deep; then
+  # deep-union operating point: scatter-mode postings side at P=512 /
+  # C_p=1000 under the cluster union — the candidate generator sized for
+  # recall >= 0.95 on structureless vectors
+  echo "[agenda] stage cluster_deep $(date -u +%T)" >>"$LOG"
+  timeout 3600 python scripts/recall_encoder_1m.py --index cluster \
+    --enc-cache /tmp/enc_run2.npz --probes 64,128 \
+    --posting-cap 512 --posting-candidates 1000 \
+    --key encoder_vectors_1m_cluster_deep \
+    >/tmp/r3_cluster_deep.log 2>&1 && mark cluster_deep
+  tail -6 /tmp/r3_cluster_deep.log >>"$LOG"
 fi
 
 if ! done_ postings_qps; then
@@ -62,6 +77,24 @@ if ! done_ postings_qps; then
     --key encoder_vectors_1m_nnz600_p1024_c1000 >>/tmp/r3_postings.log 2>&1 \
     && mark postings_qps
   tail -4 /tmp/r3_postings.log >>"$LOG"
+fi
+
+# topically-structured corpus (what real text looks like; the regime
+# cluster summaries exploit) — fresh 1M-doc encode (~18 min) + sweep.
+# Gated on >= 2.5h of round left so the lambda run always fits.
+ROUND_END=${ROUND_END:-1787082253}
+if ! done_ topical && [ "$(date +%s)" -lt "$((ROUND_END - 9000))" ]; then
+  echo "[agenda] stage topical $(date -u +%T)" >>"$LOG"
+  timeout 4800 python scripts/recall_encoder_1m.py --index cluster \
+    --corpus topical --enc-cache /tmp/enc_topical.npz \
+    --checkpoint /tmp/vrun/final_model --probes 16,32,64 \
+    --key encoder_vectors_1m_topical_cluster \
+    >/tmp/r3_topical.log 2>&1 \
+  && timeout 2400 python scripts/recall_encoder_1m.py --index postings \
+    --enc-cache /tmp/enc_topical.npz --n-postings 128 --rescore 200 \
+    --key encoder_vectors_1m_topical_postings_p128 \
+    >>/tmp/r3_topical.log 2>&1 && mark topical
+  tail -8 /tmp/r3_topical.log >>"$LOG"
 fi
 
 if ! done_ lambda; then

@@ -202,7 +202,8 @@ def build_cluster_arrays(doc_idx, doc_val, cluster_of: np.ndarray,
 
 def cluster_search_topk(summary, cluster_docs, post, d_terms, d_vals,
                         d_scale, q_idx, q_val, k: int, vocab_size: int,
-                        n_probes: int, n_docs: int, posting_candidates: int):
+                        n_probes: int, n_docs: int, posting_candidates: int,
+                        posting_scoring: str = "sort"):
     """Union-candidate two-level search.
 
     Phase 1a (clusters): dense [B, V] x [V, K] summary matmul on the MXU,
@@ -236,7 +237,7 @@ def cluster_search_topk(summary, cluster_docs, post, d_terms, d_vals,
         _, cand_p = postings_score_topk(
             post[0], post[1], post[2], q_idx, q_val,
             min(posting_candidates, post[1].shape[1] * q_idx.shape[1]),
-            n_docs, approx=False, scoring="sort")
+            n_docs, approx=False, scoring=posting_scoring)
         cand = jnp.concatenate([cand, cand_p], axis=1)
     scores = exact_rescore(d_terms, d_vals, d_scale, qd, cand)
     # dedup the union: sort by id, kill neighbor duplicates (same doc ->
@@ -264,11 +265,16 @@ class TpuClusterIndex(TpuPostingsIndex):
     def __init__(self, vocab_size: int, cluster_size: int = 64,
                  n_probes: int = 32, query_top_t: int = 32,
                  batch_pad: int = 8, approx: bool = True,
-                 posting_cap: int = 64, posting_candidates: int = 128):
+                 posting_cap: int = 64, posting_candidates: int = 128,
+                 posting_scoring: str = "auto"):
         """``posting_cap`` (P) / ``posting_candidates`` (C_p) size the
         union's postings side; posting_cap=0 disables it (clusters only).
-        Keep query_top_t * posting_cap <= 4096 — the sort-aggregation
-        crossover (docs/POSTINGS_BENCH.json _sort_crossover_note)."""
+        ``posting_scoring``: phase-1b aggregation — "sort" ([B, T*P]
+        bitonic, corpus-size-independent, degrades past T*P ~ 4096),
+        "scatter" ([B, N] dense accumulate, corpus-size-DEPENDENT but
+        cap-independent: the choice for deep caps on single-chip corpora),
+        or "auto" (sort iff query_top_t * posting_cap <= 4096 — the
+        measured crossover, docs/POSTINGS_BENCH.json _sort_crossover_note)."""
         super().__init__(
             vocab_size, query_top_t=query_top_t, batch_pad=batch_pad,
             approx=approx,
@@ -277,15 +283,18 @@ class TpuClusterIndex(TpuPostingsIndex):
             # union's width
             rescore_candidates=n_probes * cluster_size + (
                 posting_candidates if posting_cap else 0))
-        if query_top_t * posting_cap > 4096:
-            # the union's postings side aggregates by [B, T*P] bitonic
-            # sort, which degrades sharply past E~4K (measured crossover,
-            # docs/POSTINGS_BENCH.json _sort_crossover_note)
+        if posting_scoring == "auto":
+            posting_scoring = ("sort" if query_top_t * posting_cap <= 4096
+                               else "scatter")
+        elif posting_scoring == "sort" and query_top_t * posting_cap > 4096:
+            # [B, T*P] bitonic sort degrades sharply past E~4K (measured
+            # crossover, docs/POSTINGS_BENCH.json _sort_crossover_note)
             logger.warning(
-                "query_top_t (%d) x posting_cap (%d) = %d > 4096: the "
-                "sort-aggregated postings side will dominate latency — "
-                "lower posting_cap (clusters carry recall here)",
+                "query_top_t (%d) x posting_cap (%d) = %d > 4096 with "
+                "posting_scoring='sort': the postings side will dominate "
+                "latency — use 'scatter' (or 'auto') for deep caps",
                 query_top_t, posting_cap, query_top_t * posting_cap)
+        self.posting_scoring = posting_scoring
         self.cluster_size = cluster_size
         self.n_probes = n_probes
         self.posting_cap = posting_cap
@@ -357,7 +366,8 @@ class TpuClusterIndex(TpuPostingsIndex):
                 d_terms, d_vals, d_scale = post_and_dm[:3]
             return cluster_search_topk(summary, cluster_docs, post, d_terms,
                                        d_vals, d_scale, q_idx, q_val, k,
-                                       V, L, n, C_p)
+                                       V, L, n, C_p,
+                                       posting_scoring=self.posting_scoring)
 
         n_arr = 2 + (3 if with_post else 0) + 3
         jitted = jax.jit(search, static_argnums=n_arr + 2)
@@ -367,6 +377,18 @@ class TpuClusterIndex(TpuPostingsIndex):
     def max_results(self) -> int:
         n = len(self.doc_ids)
         return min(n, self.rescore_candidates)
+
+    def set_probes(self, n_probes: int) -> None:
+        """Re-point the probe count without rebuilding: clustering,
+        summaries, and postings are all probe-independent — only the
+        jitted search closure bakes L (a static shape) in. Probe sweeps
+        pay one build instead of one per operating point."""
+        self.n_probes = n_probes
+        self.rescore_candidates = n_probes * self.cluster_size + (
+            self.posting_candidates if self.posting_cap else 0)
+        if getattr(self, "_built", None) is not None:
+            self._delta_cache = None
+            self._make_search()
 
     # --------------------------------------------------------- persistence
     _SAVE_KIND = "cluster"
@@ -549,7 +571,8 @@ class MeshShardedClusterIndex(TpuClusterIndex):
                     post = None
                 return cluster_search_topk(
                     summary, cluster_docs, post, dt, dv, ds, q_idx, q_val,
-                    k_local, V, L, per, C_p)
+                    k_local, V, L, per, C_p,
+                    posting_scoring=self.posting_scoring)
 
             vals, idxs = jax.vmap(shard_search)(tuple(arrs))
             # one owner of the cross-shard merge contract (postings_index):

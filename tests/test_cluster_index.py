@@ -162,6 +162,54 @@ class TestClusterSearch:
         assert r_clus >= 0.95
         assert r_clus > r_post + 0.1, (r_clus, r_post)
 
+    def test_posting_scoring_sort_scatter_agree(self):
+        """The union's postings side has two aggregation modes (sort for
+        shallow caps, scatter for deep ones — 'auto' picks by the T*P
+        crossover); both are exact, so results must be identical."""
+        d_idx, d_val = hot_concentrated_corpus(n_docs=400)
+        qi, qv = queries(n=5, d_idx=d_idx, d_val=d_val)
+        ids = [f"d{i}" for i in range(len(d_idx))]
+        res = {}
+        for mode in ("sort", "scatter"):
+            ix = TpuClusterIndex(VOCAB, cluster_size=16, n_probes=4,
+                                 query_top_t=8, posting_cap=8,
+                                 posting_candidates=32,
+                                 posting_scoring=mode)
+            ix.add_csr(ids, d_idx, d_val)
+            ix.build()
+            res[mode] = ix.search_topk(qi, qv, k=10)
+        for a, b in zip(res["sort"], res["scatter"]):
+            assert [d for d, _ in a] == [d for d, _ in b]
+            np.testing.assert_allclose([v for _, v in a],
+                                       [v for _, v in b], rtol=1e-5)
+        # auto resolves by the crossover
+        assert TpuClusterIndex(VOCAB, query_top_t=8,
+                               posting_cap=8).posting_scoring == "sort"
+        assert TpuClusterIndex(VOCAB, query_top_t=33,
+                               posting_cap=512).posting_scoring == "scatter"
+
+    def test_set_probes_reuses_build(self):
+        """Probe sweeps swap only the jitted search: recall at L after
+        set_probes(L) equals a fresh build at L (clustering is
+        probe-independent)."""
+        d_idx, d_val = hot_concentrated_corpus(n_docs=600)
+        qi, qv = queries(n=8, d_idx=d_idx, d_val=d_val)
+        ids = [f"d{i}" for i in range(len(d_idx))]
+        ix = TpuClusterIndex(VOCAB, cluster_size=16, n_probes=2,
+                             query_top_t=8)
+        ix.add_csr(ids, d_idx, d_val)
+        ix.build()
+        ix.set_probes(24)
+        assert ix.rescore_candidates == 24 * 16 + 128
+        fresh = TpuClusterIndex(VOCAB, cluster_size=16, n_probes=24,
+                                query_top_t=8)
+        fresh.add_csr(ids, d_idx, d_val)
+        fresh.build()
+        got_a = ix.search_topk(qi, qv, k=10)
+        got_b = fresh.search_topk(qi, qv, k=10)
+        for a, b in zip(got_a, got_b):
+            assert [d for d, _ in a] == [d for d, _ in b]
+
     def test_padded_cluster_slots_never_returned(self):
         # 10 docs in G=16 clusters: most slots are padding
         d_idx, d_val = hot_concentrated_corpus(n_docs=10)
