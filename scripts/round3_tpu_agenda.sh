@@ -87,7 +87,7 @@ if ! done_ topical && [ "$(date +%s)" -lt "$((ROUND_END - 9000))" ]; then
   echo "[agenda] stage topical $(date -u +%T)" >>"$LOG"
   timeout 4800 python scripts/recall_encoder_1m.py --index cluster \
     --corpus topical --enc-cache /tmp/enc_topical.npz \
-    --checkpoint /tmp/vrun/final_model --probes 16,32,64 \
+    --checkpoint /tmp/sparse_run2/final_model --probes 16,32,64 \
     --key encoder_vectors_1m_topical_cluster \
     >/tmp/r3_topical.log 2>&1 \
   && timeout 2400 python scripts/recall_encoder_1m.py --index postings \
