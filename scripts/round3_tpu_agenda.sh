@@ -61,7 +61,7 @@ if ! done_ cluster_deep; then
   echo "[agenda] stage cluster_deep $(date -u +%T)" >>"$LOG"
   timeout 3600 python scripts/recall_encoder_1m.py --index cluster \
     --enc-cache /tmp/enc_run2.npz --probes 64,128 \
-    --posting-cap 512 --posting-candidates 1000 \
+    --posting-cap 1024 --posting-candidates 1000 \
     --key encoder_vectors_1m_cluster_deep \
     >/tmp/r3_cluster_deep.log 2>&1 && mark cluster_deep
   tail -6 /tmp/r3_cluster_deep.log >>"$LOG"

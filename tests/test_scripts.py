@@ -121,8 +121,12 @@ def test_recall_encoder_tiny_schema(tmp_path):
     (VERDICT r2 #2/#10: search_s/QPS silently dropped in round 2) for both
     index kinds."""
     out = tmp_path / "bench.json"
-    for extra, key in ([], "tiny_post"), (["--index", "cluster",
-                                          "--probes", "8"], "tiny_clus"):
+    for extra, key in (([], "tiny_post"),
+                       (["--index", "cluster", "--probes", "8"],
+                        "tiny_clus"),
+                       (["--index", "cluster", "--probes", "4,8",
+                         "--corpus", "topical", "--posting-scoring",
+                         "scatter"], "tiny_top")):
         r = subprocess.run(
             [sys.executable, "scripts/recall_encoder_1m.py", "--tiny",
              "--out", str(out), "--key", key, *extra],
@@ -130,15 +134,20 @@ def test_recall_encoder_tiny_schema(tmp_path):
             cwd=Path(__file__).resolve().parent.parent)
         assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     data = json.loads(out.read_text())
-    for key in ("tiny_post", "tiny_clus"):
+    for key in ("tiny_post", "tiny_clus", "tiny_top_probes8"):
         e = data[key]
         for field in ("recall", "build_s", "search_s", "qps", "docs",
-                      "queries", "weights"):
+                      "queries", "weights", "corpus"):
             assert field in e, (key, field)
         assert e["qps"] > 0 and 0.0 <= e["recall"] <= 1.0
     assert data["tiny_post"]["n_postings"] == 128
     assert data["tiny_clus"]["n_probes"] == 8
     assert data["tiny_clus"]["candidate_pool"] > 0
+    assert data["tiny_clus"]["corpus"] == "zipf"
+    # multi-probe sweeps suffix the key, reuse one build, and record the
+    # requested corpus + scoring mode
+    assert data["tiny_top_probes4"]["corpus"] == "topical"
+    assert data["tiny_top_probes8"]["posting_scoring"] == "scatter"
 
 
 def test_bench_train_variants_tiny_schema(tmp_path):
