@@ -105,7 +105,8 @@ def main() -> None:
                 qi_, qv_ = q
                 vals, _ = cluster_search_topk(
                     summary, cluster_docs, post, d_terms, d_vals, d_scale,
-                    qi_, qv_, K, V, args.probes, n, args.posting_candidates)
+                    qi_, qv_, K, V, args.probes, n, args.posting_candidates,
+                    posting_scoring=idx.posting_scoring)
                 return acc0 + vals.sum(), None
 
             out, _ = jax.lax.scan(body, jnp.float32(0.0), (q_idx, q_val))

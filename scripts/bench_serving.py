@@ -91,7 +91,9 @@ def main() -> int:
     p.add_argument("--requests", type=int, default=256)
     p.add_argument("--index", default="dense",
                choices=["dense", "postings", "cluster"])
-    p.add_argument("--n-postings", type=int, default=2048)
+    p.add_argument("--n-postings", type=int, default=None,
+                   help="postings: list cap (default 2048); cluster: the "
+                        "union's posting_cap (default 64)")
     p.add_argument("--rescore", type=int, default=0,
                    help=">0 with --index postings: two-phase search (pair "
                         "with --n-postings 64)")
@@ -124,11 +126,17 @@ def main() -> int:
         rng = np.random.default_rng(0)
         n, V = args.synthetic_docs, len(tokenizer)
         if args.index == "cluster":
-            index = TpuClusterIndex(V, query_top_t=32)
+            index = TpuClusterIndex(
+                V, query_top_t=32,
+                posting_cap=64 if args.n_postings is None
+                else args.n_postings,
+                posting_candidates=args.rescore or 128)
         else:
-            index = TpuPostingsIndex(V, n_postings=args.n_postings,
-                                     query_top_t=32,
-                                     rescore_candidates=args.rescore)
+            index = TpuPostingsIndex(
+                V,
+                n_postings=2048 if args.n_postings is None
+                else args.n_postings,
+                query_top_t=32, rescore_candidates=args.rescore)
         index.add_csr([f"d{i}" for i in range(n)],
                       *zipf_corpus_csr(rng, n, V))
         index.build()

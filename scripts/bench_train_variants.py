@@ -189,6 +189,18 @@ def main() -> int:
                         "schema, not the numbers")
     args = p.parse_args()
     if args.tiny:
+        import os
+        import re
+
+        # tiny mode is a single-device schema/plumbing smoke: under the
+        # test env's XLA_FLAGS=--xla_force_host_platform_device_count=8
+        # the variant step would jit through the GSPMD partitioner with an
+        # 8x batch on one CPU core (observed: 540s timeout vs 65s plain)
+        flags = os.environ.get("XLA_FLAGS", "")
+        stripped = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", "", flags).strip()
+        if stripped != flags:
+            os.environ["XLA_FLAGS"] = stripped
         from splade_tpu.utils.runtime import force_cpu_if_requested
 
         force_cpu_if_requested()

@@ -31,15 +31,9 @@ WORDS = ("ê²€ìƒ‰ ëª¨ë¸ í•œêµ­ì–´ ë¬¸ì„œ ì§ˆì˜ ë²¡í„° í•™ìŠµ í‰ê°€ ìƒ‰ì¸ ì—”ì
 
 
 def build_stems(rng: np.random.Generator, n_random: int) -> list:
-    syll = lambda: chr(0xAC00 + int(rng.integers(11172)))  # noqa: E731
-    out = list(WORDS)
-    seen = set(out)
-    while len(out) < len(WORDS) + n_random:
-        s = "".join(syll() for _ in range(int(rng.integers(2, 4))))
-        if s not in seen:
-            seen.add(s)
-            out.append(s)
-    return out
+    from splade_tpu.utils.synth import random_hangul_stems
+
+    return random_hangul_stems(rng, n_random, seed_words=WORDS)
 
 
 def main() -> int:

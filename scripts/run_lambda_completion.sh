@@ -7,7 +7,10 @@ DATA=${DATA:-/tmp/vdata}
 # regenerate unless a production-size corpus is already there — the same
 # path may hold the 64-triplet verify-skill smoke data, whose presence
 # must not satisfy this check (observed round 3: it did)
-lines=$(cat "$DATA"/train_*.jsonl 2>/dev/null | wc -l)
+# `|| true`: with no shards the cat fails, and under pipefail+errexit the
+# failed substitution would abort the script before it ever generates data
+lines=$(cat "$DATA"/train_*.jsonl 2>/dev/null | wc -l || true)
+lines=${lines:-0}
 if [ "$lines" -lt 50000 ]; then
   JAX_PLATFORMS=cpu python scripts/make_synth_triplets.py --out "$DATA" --n 60000
 fi

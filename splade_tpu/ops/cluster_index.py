@@ -394,16 +394,23 @@ class TpuClusterIndex(TpuPostingsIndex):
     _SAVE_KIND = "cluster"
 
     def _config_array(self) -> np.ndarray:
+        # field 7 persists the RESOLVED phase-1b mode (0=sort, 1=scatter):
+        # without it a reload re-resolves "auto" and can silently serve the
+        # other kernel than the one the saved index was validated with
         return np.asarray([self.vocab_size, self.cluster_size,
                            self.n_probes, self.query_top_t,
-                           self.posting_cap, self.posting_candidates],
+                           self.posting_cap, self.posting_candidates,
+                           1 if self.posting_scoring == "scatter" else 0],
                           np.int64)
 
     @classmethod
     def _config_kwargs(cls, cfg: np.ndarray):
-        vocab, G, L, top_t, P, C_p = (int(x) for x in cfg)
-        return vocab, dict(cluster_size=G, n_probes=L, query_top_t=top_t,
-                           posting_cap=P, posting_candidates=C_p)
+        vocab, G, L, top_t, P, C_p = (int(x) for x in cfg[:6])
+        kw = dict(cluster_size=G, n_probes=L, query_top_t=top_t,
+                  posting_cap=P, posting_candidates=C_p)
+        if len(cfg) >= 7:  # archives from before the field fall back to auto
+            kw["posting_scoring"] = "scatter" if int(cfg[6]) else "sort"
+        return vocab, kw
 
     def config_summary(self) -> str:
         return (f"cluster_size={self.cluster_size} "

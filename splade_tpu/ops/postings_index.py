@@ -763,6 +763,17 @@ class TpuPostingsIndex:
         logger.info("saved index corpus (%d docs) -> %s",
                     len(self.doc_ids), path)
 
+    @staticmethod
+    def sniff_kind(z) -> str:
+        """Archive-kind discriminator for an OPEN npz: the single owner of
+        the kind contract (load() and the server's cache dispatch both call
+        this). `kind` names the format directly; archives from before the
+        field infer it from the config width so the error stays explicit."""
+        if "kind" in z.files:
+            return str(z["kind"])
+        return {4: "postings", 6: "cluster", 7: "cluster"}.get(
+            len(z["config"]), "?")
+
     @classmethod
     def load(cls, path: str, **overrides) -> "TpuPostingsIndex":
         """Restore a saved corpus and build the device structures. Saved
@@ -782,12 +793,7 @@ class TpuPostingsIndex:
                     "caches load with allow_pickle=False.") from e
             raise
         with z_ctx as z:
-            # `kind` discriminates archive formats (postings vs cluster
-            # config layouts); archives from before the field infer it
-            # from the config width so the error is still explicit
-            kind = (str(z["kind"]) if "kind" in z.files
-                    else {4: "postings", 6: "cluster"}.get(
-                        len(z["config"]), "?"))
+            kind = cls.sniff_kind(z)
             if kind != cls._SAVE_KIND:
                 raise ValueError(
                     f"{path} is a {kind!r} index cache but "

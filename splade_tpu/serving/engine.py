@@ -122,7 +122,8 @@ def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
 
 def make_fused_cluster_search_fn(model, banned, top_t: int, n_docs: int,
                                  vocab_size: int, n_probes: int,
-                                 posting_candidates: int, with_post: bool):
+                                 posting_candidates: int, with_post: bool,
+                                 posting_scoring: str = "sort"):
     """Fused encode→cluster-union-search for TpuClusterIndex-backed
     serving: (params, summary, cluster_docs, [post_docs, post_w, p_scale,]
     d_terms, d_vals, d_scale, ids, mask, k) -> (vals, idxs, q_val, q_idx).
@@ -143,7 +144,7 @@ def make_fused_cluster_search_fn(model, banned, top_t: int, n_docs: int,
         vals, idxs = cluster_search_topk(
             summary, cluster_docs, post, d_terms, d_vals, d_scale,
             q_idx, q_val, k, vocab_size, n_probes, n_docs,
-            posting_candidates)
+            posting_candidates, posting_scoring=posting_scoring)
         return vals, idxs, q_val, q_idx
 
     return fused
@@ -304,7 +305,8 @@ class ServingEngine:
                 n_docs=self._postings_n, vocab_size=self.index.vocab_size,
                 n_probes=self.index.n_probes,
                 posting_candidates=self.index.posting_candidates,
-                with_post=with_post)
+                with_post=with_post,
+                posting_scoring=self.index.posting_scoring)
             self._fused_jit = jax.jit(
                 fused, static_argnums=(11 if with_post else 8,))
             return
@@ -536,8 +538,10 @@ def build_engine_from_docs(
     doc_top_k: int = 0,
     mesh=None,
     index_type: str = "dense",
-    n_postings: int = 2048,
-    rescore_candidates: int = 0,
+    n_postings: Optional[int] = None,
+    rescore_candidates: Optional[int] = None,
+    cluster_size: int = 64,
+    n_probes: int = 32,
     **engine_kw,
 ) -> ServingEngine:
     """Encode (doc_id, text) pairs on device and build a served index.
@@ -547,7 +551,13 @@ def build_engine_from_docs(
     rescore_candidates>0 adds the two-phase exact-rescoring path — use a
     short cap like n_postings=64 with it), or 'cluster' (cluster-summary
     union index — million-doc corpora with hot-term-concentrated vectors
-    where posting truncation collapses recall)."""
+    where posting truncation collapses recall).
+
+    ``n_postings``/``rescore_candidates`` are per-backend: for 'postings'
+    they default to 2048/0 (single-phase deep lists); for 'cluster' they
+    size the union's postings side (posting_cap/posting_candidates,
+    defaults 64/128; n_postings=0 disables the postings side).
+    ``cluster_size``/``n_probes`` apply to 'cluster' only."""
     from splade_tpu.benchmark.encoders import SparseEncoderV33
 
     enc = SparseEncoderV33(model, params, tokenizer, doc_top_k=doc_top_k)
@@ -556,14 +566,20 @@ def build_engine_from_docs(
 
         index = TpuClusterIndex(
             len(tokenizer),
-            query_top_t=engine_kw.get("query_top_k", 64) or 32)
+            query_top_t=engine_kw.get("query_top_k", 64) or 32,
+            cluster_size=cluster_size, n_probes=n_probes,
+            posting_cap=64 if n_postings is None else n_postings,
+            # the union's phase 2 always rescores exactly, so 0 here is
+            # meaningless — fall back to the default pool width
+            posting_candidates=rescore_candidates or 128)
     elif index_type == "postings":
         from splade_tpu.ops.postings_index import TpuPostingsIndex
 
         index = TpuPostingsIndex(
-            len(tokenizer), n_postings=n_postings,
+            len(tokenizer),
+            n_postings=2048 if n_postings is None else n_postings,
             query_top_t=engine_kw.get("query_top_k", 64) or 32,
-            rescore_candidates=rescore_candidates)
+            rescore_candidates=rescore_candidates or 0)
     else:
         from splade_tpu.ops.impact_index import TpuImpactIndex
 

@@ -233,11 +233,19 @@ def main(argv: Optional[list] = None) -> int:
                         "postings, or cluster-summary union index "
                         "(million-doc corpora). Default: dense, or the "
                         "cache's own kind when an --index-cache exists")
-    p.add_argument("--n-postings", type=int, default=2048)
+    p.add_argument("--n-postings", type=int, default=None,
+                   help="postings: per-term list cap (default 2048); "
+                        "cluster: the union's posting_cap (default 64, "
+                        "0 disables the postings side)")
     p.add_argument("--rescore", type=int, default=0,
                    help=">0 with --index postings: two-phase search — this "
                         "many short-cap candidates re-scored exactly "
-                        "(pair with --n-postings 64)")
+                        "(pair with --n-postings 64); with --index cluster: "
+                        "the union's posting_candidates (default 128)")
+    p.add_argument("--cluster-size", type=int, default=64,
+                   help="--index cluster: docs per cluster (G)")
+    p.add_argument("--probes", type=int, default=32,
+                   help="--index cluster: clusters probed per query (L)")
     p.add_argument("--query-top-k", type=int, default=64)
     p.add_argument("--max-batch-size", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
@@ -275,9 +283,9 @@ def main(argv: Optional[list] = None) -> int:
         # cache is served by the cluster class (and a mismatching
         # explicit --index errors clearly instead of unpack-crashing)
         with np.load(args.index_cache, allow_pickle=False) as z:
-            cache_kind = (str(z["kind"]) if "kind" in z.files
-                          else {4: "postings", 6: "cluster"}.get(
-                              len(z["config"]), "postings"))
+            cache_kind = TpuPostingsIndex.sniff_kind(z)
+        if cache_kind == "?":
+            cache_kind = "postings"  # pre-kind archives default to postings
         if args.index and args.index != cache_kind:
             p.error(f"--index {args.index} conflicts with {args.index_cache}"
                     f" (a {cache_kind!r} cache); drop --index or rebuild")
@@ -307,7 +315,8 @@ def main(argv: Optional[list] = None) -> int:
         engine = build_engine_from_docs(
             enc.model, enc.params, tokenizer, docs, int8=args.int8,
             query_top_k=args.query_top_k, index_type=index_kind,
-            n_postings=args.n_postings, rescore_candidates=args.rescore)
+            n_postings=args.n_postings, rescore_candidates=args.rescore,
+            cluster_size=args.cluster_size, n_probes=args.probes)
         if args.index_cache:
             if hasattr(engine.index, "save"):
                 engine.index.save(args.index_cache)

@@ -37,6 +37,23 @@ _JOSA = ("ì€", "ëŠ”", "ì´", "ê°€", "ì„", "ë¥¼", "ì—", "ì—ì„œ", "ìœ¼ë¡œ", "ë
 _ENDINGS = ("í•œë‹¤", "í–ˆë‹¤", "í•©ë‹ˆë‹¤", "í•˜ëŠ”", "ëœë‹¤", "ë˜ì—ˆë‹¤", "ìž…ë‹ˆë‹¤")
 
 
+def random_hangul_stems(rng: np.random.Generator, n: int,
+                        seed_words: tuple = ()) -> list:
+    """``n`` unique random 2-3-syllable precomposed-Hangul stems, appended
+    after ``seed_words`` (which count toward dedup but not toward n). The
+    single owner of the stem generator â€” the analyzer fixture and the
+    synthetic triplet corpus must draw from the same distribution."""
+    out = list(seed_words)
+    seen = set(out)
+    syllable = lambda: chr(0xAC00 + int(rng.integers(11172)))  # noqa: E731
+    while len(out) < len(seed_words) + n:
+        s = "".join(syllable() for _ in range(int(rng.integers(2, 4))))
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
 def korean_morph_benchmark(rng: np.random.Generator, n_docs: int = 1200,
                            n_queries: int = 240, n_stems: int = 900,
                            stems_per_doc: int = 12, query_stems: int = 3):
@@ -53,14 +70,7 @@ def korean_morph_benchmark(rng: np.random.Generator, n_docs: int = 1200,
     Returns (corpus {id: text}, queries {qid: text}, qrels {qid: {ids}});
     qrels contain every document whose stem set covers the query's stems.
     """
-    syllable = lambda: chr(0xAC00 + int(rng.integers(11172)))  # noqa: E731
-    stems = []
-    seen = set()
-    while len(stems) < n_stems:
-        s = "".join(syllable() for _ in range(int(rng.integers(2, 4))))
-        if s not in seen:
-            seen.add(s)
-            stems.append(s)
+    stems = random_hangul_stems(rng, n_stems)
     doc_stems = []
     corpus = {}
     for d in range(n_docs):

@@ -267,6 +267,21 @@ class TestClusterCrud:
                                   np.array([1.0], np.float32), k=1)
         assert res[0][0] == "x1"
 
+    def test_save_load_roundtrips_posting_scoring(self, tmp_path):
+        """An explicit phase-1b mode survives persistence: without the
+        config field a reload re-resolves 'auto' and can silently serve
+        the other kernel than the one the saved index was validated with."""
+        d_idx, d_val = hot_concentrated_corpus(n_docs=100)
+        ix = TpuClusterIndex(VOCAB, cluster_size=16, n_probes=4,
+                             query_top_t=8, posting_cap=8,
+                             posting_candidates=32,
+                             posting_scoring="scatter")  # auto would pick sort
+        ix.add_csr([f"d{i}" for i in range(len(d_idx))], d_idx, d_val)
+        ix.build()
+        p = str(tmp_path / "scatter.npz")
+        ix.save(p)
+        assert TpuClusterIndex.load(p).posting_scoring == "scatter"
+
     def test_save_load_roundtrip(self, tmp_path):
         index, d_idx, d_val = self._index(n=200)
         p = str(tmp_path / "cluster.npz")

@@ -475,6 +475,28 @@ def test_save_load_roundtrip(tmp_path, corpus):
     assert back2.rescore_candidates == 0
 
 
+def test_sniff_kind_owns_the_archive_contract(tmp_path):
+    """sniff_kind is the single owner of archive-kind dispatch (load() and
+    the server both call it): the `kind` field wins, pre-kind archives fall
+    back to the config width, unknown widths are explicit '?'."""
+    import numpy as np
+
+    saved = TpuPostingsIndex(V, n_postings=4, query_top_t=8)
+    saved.add("d0", np.array([1, 2], np.int32),
+              np.array([1.0, 2.0], np.float32))
+    saved.build()
+    p = str(tmp_path / "k.npz")
+    saved.save(p)
+    with np.load(p, allow_pickle=False) as z:
+        assert TpuPostingsIndex.sniff_kind(z) == "postings"
+    for width, want in ((4, "postings"), (6, "cluster"),
+                        (7, "cluster"), (5, "?")):
+        legacy = str(tmp_path / f"legacy{width}.npz")
+        np.savez(legacy, config=np.zeros(width, np.int64))
+        with np.load(legacy, allow_pickle=False) as z:
+            assert TpuPostingsIndex.sniff_kind(z) == want, width
+
+
 def test_mesh_delta_crud_on_virtual_mesh():
     """Mesh-sharded index CRUD without rebuild (VERDICT r2 #7): post-build
     adds serve from the shard-agnostic host delta, deletes tombstone, and

@@ -108,12 +108,20 @@ class TestBenchSupervisor:
         assert bench.supervise() == 0
         assert calls["n"] == 2
 
-    def test_exhaustion_returns_nonzero(self, monkeypatch):
+    def test_exhaustion_returns_nonzero_with_structured_record(
+            self, monkeypatch, capsys):
+        """Exhaustion keeps rc=1 (the measurement DID fail) but still
+        prints one parseable record flagged tpu_unreachable with the
+        chip-measured pointer — a tunnel outage at capture time must not
+        reduce the round's perf evidence to a bare traceback (BENCH_r02)."""
         import bench
 
         calls = self._patch(monkeypatch, [(1, "")])
         assert bench.supervise() == 1
         assert calls["n"] == bench.ATTEMPTS
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["value"] == 0.0 and rec["tpu_unreachable"] is True
+        assert rec["chip_measured"]["value"] > 0
 
 
 def test_recall_encoder_tiny_schema(tmp_path):

@@ -866,6 +866,74 @@ def test_cluster_backed_engine_matches_dense(engine):
     assert "newdoc" not in [x for x, _ in got]
 
 
+def test_build_engine_cluster_knobs_threaded():
+    """build_engine_from_docs must pass the operator's shape flags into the
+    cluster backend (they were silently dropped once), with per-backend
+    defaults when absent."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    docs = [(f"doc{i}", f"문서 {i}") for i in range(20)]
+    from splade_tpu.serving.engine import build_engine_from_docs
+
+    e = build_engine_from_docs(model, params, tok, docs, int8=False,
+                               index_type="cluster", n_postings=16,
+                               rescore_candidates=48, cluster_size=8,
+                               n_probes=4, query_top_k=16,
+                               query_max_length=16)
+    ix = e.index
+    assert (ix.posting_cap, ix.posting_candidates, ix.cluster_size,
+            ix.n_probes) == (16, 48, 8, 4)
+    e2 = build_engine_from_docs(model, params, tok, docs, int8=False,
+                                index_type="cluster", query_top_k=16,
+                                query_max_length=16)
+    assert (e2.index.posting_cap, e2.index.posting_candidates) == (64, 128)
+    e3 = build_engine_from_docs(model, params, tok, docs, int8=False,
+                                index_type="postings", query_top_k=16,
+                                query_max_length=16)
+    assert e3.index.n_postings == 2048
+
+
+def test_fused_cluster_path_uses_index_scoring_mode(monkeypatch):
+    """The fused serving jit must run phase 1b in the INDEX's resolved
+    aggregation mode: a scatter index served through a default-'sort'
+    closure degenerates to a [B, T*P] bitonic sort at deep caps
+    (docs/POSTINGS_BENCH.json _sort_crossover_note)."""
+    import splade_tpu.ops.cluster_index as ci
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.serving.engine import ServingEngine
+
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    enc = SparseEncoderV33(model, params, tok)
+    docs = [(f"doc{i}", f"문서 {i} {'가나다라'[i % 4]}") for i in range(30)]
+    index = ci.TpuClusterIndex(VOCAB, cluster_size=8, n_probes=4,
+                               query_top_t=16, posting_cap=8,
+                               posting_candidates=16,
+                               posting_scoring="scatter")
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    index.build()
+    seen = []
+    orig = ci.cluster_search_topk
+
+    def spy(*args, **kw):
+        seen.append(kw.get("posting_scoring", "sort"))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(ci, "cluster_search_topk", spy)
+    eng = ServingEngine(model, params, tok, index,
+                        query_top_k=16, query_max_length=16)
+    got = eng.search_batch(["가나다 문서"], k=5)
+    assert got and got[0]
+    assert seen and all(m == "scatter" for m in seen), seen
+
+
 def test_mesh_cluster_engine_serves_and_mutates(engine):
     """ServingEngine over a MeshShardedClusterIndex (8 virtual devices):
     fused mesh search matches the dense engine, and CRUD serves from the
