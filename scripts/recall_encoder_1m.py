@@ -111,6 +111,15 @@ def main() -> int:
     p.add_argument("--topic-frac", type=float, default=0.7,
                    help="fraction of a topical doc's tokens drawn from "
                         "its topic block (rest: global Zipf)")
+    p.add_argument("--vectors", default="encoder",
+                   choices=["encoder", "synth"],
+                   help="encoder: encode sampled token sequences with the "
+                        "checkpoint (the real-vector evidence; 1M docs "
+                        "needs the chip, ~18 min). synth: draw the doc/"
+                        "query TERM sets from the same zipf/topical "
+                        "distributions directly — no encoder, so the "
+                        "1M-scale regime comparison runs on CPU (labeled "
+                        "synthetic_csr in the output)")
     p.add_argument("--tiny", action="store_true",
                    help="CPU-testable mode: tiny random-init encoder, "
                         "small corpus defaults — exercises the full "
@@ -149,6 +158,33 @@ def main() -> int:
                   time.time())
         return 0
 
+    if args.vectors == "synth":
+        # Term sets drawn straight from the zipf/topical distributions —
+        # no encoder pass, so the 1M-doc regime comparison (structureless
+        # vs topically-blocked corpora) runs on this host's CPU. Labeled
+        # synthetic_csr in the persisted entry; the encoder-vector rows
+        # remain the real-model evidence.
+        rng = np.random.default_rng(0)
+        V = 2000 if args.tiny else 50_000
+        sample_ids = _make_term_sampler(rng, V - 100, args)
+        # SPLADE-like weights: a term carries a similar (IDF-like) impact
+        # wherever it fires — a per-TERM base scaled by mild lognormal
+        # jitter. Fully i.i.d. weights instead produce a flat score
+        # distribution at 1M docs where the exact top-10 is decided by
+        # weight coincidences and EVERY candidate-pruning method is
+        # pool-bound (measured: recall 0.06 zipf / 0.34 topical for
+        # postings AND clusters alike) — not the regime encoders produce.
+        base = (np.abs(rng.normal(size=V)) + 0.1).astype(np.float32)
+        jitter = lambda s: rng.lognormal(0.0, 0.25, size=s).astype(  # noqa: E731
+            np.float32)
+        d_idx = sample_ids(args.docs, args.doc_top_k)
+        d_val = base[d_idx] * jitter(d_idx.shape)
+        q_idx = sample_ids(args.queries, args.query_top_k)
+        q_val = base[q_idx] * jitter(q_idx.shape)
+        run_sweep(args, d_idx, d_val, q_idx, q_val, V, "synthetic-csr",
+                  time.time())
+        return 0
+
     model, params, cfg, weights_src = build_encoder(args.checkpoint,
                                                     tiny=args.tiny)
     V = cfg.vocab_size
@@ -160,33 +196,11 @@ def main() -> int:
 
     encode_jit = jax.jit(encode_topk, static_argnums=3)
 
-    # Zipf-ish token sampling over the 50K vocab (excluding specials at
-    # the vocab tail). --corpus topical adds the block structure real
-    # corpora have: each doc draws `topic_frac` of its tokens from a
-    # topic-specific 2K-token block (Zipf within the block), the rest
-    # from the global Zipf; queries are drawn the same way, so a query's
-    # true neighbors are concentrated in its topic.
     rng = np.random.default_rng(0)
-    V_eff = V - 100
-    zipf_p = 1.0 / np.arange(1, V_eff + 1) ** 0.9
-    zipf_p /= zipf_p.sum()
-    BLOCK = min(2048, max(V_eff // 4, 1))  # tiny-vocab (--tiny) safe
-    block_p = 1.0 / np.arange(1, BLOCK + 1) ** 0.9
-    block_p /= block_p.sum()
-    # per-topic block start: spread pseudo-randomly over the vocab so
-    # blocks overlap across topics (shared vocabulary, like real text)
-    topic_start = (np.random.default_rng(1)
-                   .integers(0, V_eff - BLOCK, size=args.topics))
+    sample_ids = _make_term_sampler(rng, V - 100, args)
 
     def sample_batch(n, L):
-        ids = rng.choice(V_eff, size=(n, L), p=zipf_p).astype(np.int32)
-        if args.corpus == "topical":
-            topics = rng.integers(0, args.topics, size=(n,))
-            t_ids = (topic_start[topics][:, None]
-                     + rng.choice(BLOCK, size=(n, L), p=block_p)
-                     ).astype(np.int32)
-            from_topic = rng.random((n, L)) < args.topic_frac
-            ids = np.where(from_topic, t_ids, ids)
+        ids = sample_ids(n, L)
         lengths = rng.integers(L // 4, L + 1, size=(n,))
         mask = (np.arange(L)[None] < lengths[:, None]).astype(np.int32)
         return np.where(mask > 0, ids, cfg.pad_token_id), mask
@@ -236,6 +250,38 @@ def main() -> int:
         print(f"wrote encode cache {cache}", flush=True)
     run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all)
     return 0
+
+
+def _make_term_sampler(rng, V_eff, args):
+    """Zipf-ish sampling over the vocab (excluding specials at the tail).
+    --corpus topical adds the block structure real corpora have: each
+    row draws `topic_frac` of its ids from a topic-specific 2K-token
+    block (Zipf within the block), the rest from the global Zipf;
+    queries are drawn the same way, so a query's true neighbors are
+    concentrated in its topic. Used for token sequences (encoder mode)
+    and term sets (--vectors synth) alike."""
+    zipf_p = 1.0 / np.arange(1, V_eff + 1) ** 0.9
+    zipf_p /= zipf_p.sum()
+    BLOCK = min(2048, max(V_eff // 4, 1))  # tiny-vocab (--tiny) safe
+    block_p = 1.0 / np.arange(1, BLOCK + 1) ** 0.9
+    block_p /= block_p.sum()
+    # per-topic block start: spread pseudo-randomly over the vocab so
+    # blocks overlap across topics (shared vocabulary, like real text)
+    topic_start = (np.random.default_rng(1)
+                   .integers(0, V_eff - BLOCK, size=args.topics))
+
+    def sample_ids(n, L):
+        ids = rng.choice(V_eff, size=(n, L), p=zipf_p).astype(np.int32)
+        if args.corpus == "topical":
+            topics = rng.integers(0, args.topics, size=(n,))
+            t_ids = (topic_start[topics][:, None]
+                     + rng.choice(BLOCK, size=(n, L), p=block_p)
+                     ).astype(np.int32)
+            from_topic = rng.random((n, L)) < args.topic_frac
+            ids = np.where(from_topic, t_ids, ids)
+        return ids
+
+    return sample_ids
 
 
 def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
@@ -326,8 +372,10 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
         print(f"{args.index}={P}: recall@{args.k} vs exact: {recall:.4f} "
               f"({args.queries} queries in {search_s:.1f}s)", flush=True)
 
+        vec_kind = ("synthetic_csr" if getattr(args, "vectors", "encoder")
+                    == "synth" else "encoder_vectors")
         entry = {
-            "metric": f"{args.index}_recall@{args.k}_vs_exact_encoder_vectors",
+            "metric": f"{args.index}_recall@{args.k}_vs_exact_{vec_kind}",
             "device": str(jax.devices()[0]),
             "weights": weights_src,
             "docs": args.docs, "queries": args.queries,

@@ -134,7 +134,10 @@ def test_recall_encoder_tiny_schema(tmp_path):
                         "tiny_clus"),
                        (["--index", "cluster", "--probes", "4,8",
                          "--corpus", "topical", "--posting-scoring",
-                         "scatter"], "tiny_top")):
+                         "scatter"], "tiny_top"),
+                       (["--vectors", "synth", "--index", "cluster",
+                         "--probes", "4", "--corpus", "topical"],
+                        "tiny_synth")):
         r = subprocess.run(
             [sys.executable, "scripts/recall_encoder_1m.py", "--tiny",
              "--out", str(out), "--key", key, *extra],
@@ -142,7 +145,7 @@ def test_recall_encoder_tiny_schema(tmp_path):
             cwd=Path(__file__).resolve().parent.parent)
         assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     data = json.loads(out.read_text())
-    for key in ("tiny_post", "tiny_clus", "tiny_top_probes8"):
+    for key in ("tiny_post", "tiny_clus", "tiny_top_probes8", "tiny_synth"):
         e = data[key]
         for field in ("recall", "build_s", "search_s", "qps", "docs",
                       "queries", "weights", "corpus"):
