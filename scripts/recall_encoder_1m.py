@@ -74,9 +74,13 @@ def main() -> int:
     p.add_argument("--doc-len", type=int, default=192)
     p.add_argument("--query-len", type=int, default=64)
     p.add_argument("--index", default="postings",
-                   choices=["postings", "cluster"],
-                   help="candidate generator: truncated postings two-phase "
-                        "or the cluster-summary union index (VERDICT r2 #2)")
+                   choices=["postings", "cluster", "mesh_cluster"],
+                   help="candidate generator: truncated postings two-phase, "
+                        "the cluster-summary union index (VERDICT r2 #2), "
+                        "or the mesh-sharded cluster index (doc-sharded "
+                        "over jax.devices() — the past-single-chip-HBM "
+                        "design point; needs a multi-device env, e.g. "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=8)")
     p.add_argument("--n-postings", default="128",
                    help="comma-separated P values — the encode pass is "
                         "shared, each P gets its own index build + entry")
@@ -314,14 +318,31 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
 
     out = Path(args.out)
     data = json.loads(out.read_text()) if out.exists() else {}
-    if args.index == "cluster":
+    if args.index in ("cluster", "mesh_cluster"):
         sweep = [int(x) for x in str(args.probes).split(",")]
     else:
         sweep = [int(x) for x in str(args.n_postings).split(",")]
     index = None
     for P in sweep:
         t0 = time.time()
-        if args.index == "cluster":
+        if args.index == "mesh_cluster":
+            from splade_tpu.ops.cluster_index import MeshShardedClusterIndex
+            from splade_tpu.parallel.mesh import make_mesh
+
+            if index is not None:
+                index.set_probes(P)
+                build_s = time.time() - t0
+                print(f"mesh_cluster={P}: reusing build "
+                      f"(+{build_s:.1f}s re-jit)", flush=True)
+                ran_build = False
+            else:
+                index = MeshShardedClusterIndex(
+                    V, make_mesh(), cluster_size=args.cluster_size,
+                    n_probes=P, query_top_t=args.query_top_k,
+                    posting_cap=args.posting_cap,
+                    posting_candidates=args.posting_candidates)
+                ran_build = True
+        elif args.index == "cluster":
             if index is not None:
                 # clustering/summaries/postings are probe-independent:
                 # later sweep points swap only the jitted search (L is a
@@ -388,15 +409,18 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
             "qps": round(args.queries / max(search_s, 1e-9), 1),
             "total_s": round(time.time() - t_all, 1),
         }
-        if args.index == "cluster":
+        if args.index in ("cluster", "mesh_cluster"):
             entry.update({
                 "cluster_size": args.cluster_size, "n_probes": P,
                 "n_clusters": index.n_clusters,
                 "posting_cap": args.posting_cap,
                 "posting_candidates": args.posting_candidates,
                 "posting_scoring": index.posting_scoring,
-                "candidate_pool": index.rescore_candidates,
+                "candidate_pool": index.max_results(),
             })
+            if args.index == "mesh_cluster":
+                entry["shards"] = index.n_shards
+                entry["memory_mb"] = round(index.memory_bytes() / 1e6)
             key_sfx = f"probes{P}"
         else:
             entry.update({

@@ -137,7 +137,10 @@ def test_recall_encoder_tiny_schema(tmp_path):
                          "scatter"], "tiny_top"),
                        (["--vectors", "synth", "--index", "cluster",
                          "--probes", "4", "--corpus", "topical"],
-                        "tiny_synth")):
+                        "tiny_synth"),
+                       (["--vectors", "synth", "--index", "mesh_cluster",
+                         "--probes", "4", "--corpus", "topical"],
+                        "tiny_mesh")):
         r = subprocess.run(
             [sys.executable, "scripts/recall_encoder_1m.py", "--tiny",
              "--out", str(out), "--key", key, *extra],
@@ -145,12 +148,14 @@ def test_recall_encoder_tiny_schema(tmp_path):
             cwd=Path(__file__).resolve().parent.parent)
         assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     data = json.loads(out.read_text())
-    for key in ("tiny_post", "tiny_clus", "tiny_top_probes8", "tiny_synth"):
+    for key in ("tiny_post", "tiny_clus", "tiny_top_probes8", "tiny_synth",
+                "tiny_mesh"):
         e = data[key]
         for field in ("recall", "build_s", "search_s", "qps", "docs",
                       "queries", "weights", "corpus"):
             assert field in e, (key, field)
         assert e["qps"] > 0 and 0.0 <= e["recall"] <= 1.0
+    assert data["tiny_mesh"]["shards"] == 8  # ran on the virtual mesh
     assert data["tiny_post"]["n_postings"] == 128
     assert data["tiny_clus"]["n_probes"] == 8
     assert data["tiny_clus"]["candidate_pool"] > 0
