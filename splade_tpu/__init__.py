@@ -19,3 +19,15 @@ CUDA/torch pipeline (``sa-project-private-repo/opensearch-neural-pre-train``):
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS=cpu for EVERY entry point that imports this package.
+# On hosts whose sitecustomize imports jax (registering the TPU plugin)
+# before any script code runs, the env var alone is too late — and a
+# "CPU-only" script silently grabbing the single-tenant TPU can deadlock
+# against a live training run (observed 2026-08-19: bench_postings.py under
+# JAX_PLATFORMS=cpu ran on the chip mid-run). Scripts that import jax
+# before splade_tpu should still call force_cpu_if_requested() themselves.
+from splade_tpu.utils.runtime import force_cpu_if_requested as _force_cpu
+
+_force_cpu()
+del _force_cpu

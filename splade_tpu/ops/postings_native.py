@@ -33,16 +33,22 @@ _checked = False
 
 
 def load_library() -> Optional[ctypes.CDLL]:
+    # Memoize only SUCCESS: a missing .so at first call must not
+    # permanently disable the native path — the library may be built
+    # later in the same process (observed: the test fixture runs `make`
+    # after an earlier test already probed and cached None). Re-scanning
+    # on failure costs a couple of stat() calls per call, nothing next
+    # to the work the library saves.
     global _lib, _checked
-    if _checked:
+    if _lib is not None:
         return _lib
-    _checked = True
     env_path = os.environ.get("SPLADE_POSTINGS_LIB")
-    if env_path and not Path(env_path).exists():
+    if env_path and not Path(env_path).exists() and not _checked:
         # an explicit override must not silently fall through to the
         # repo-default .so (operator expects THEIR freshly-built library)
         logger.warning("SPLADE_POSTINGS_LIB=%s does not exist; falling "
                        "back to the default library search", env_path)
+    _checked = True
     for cand in _LIB_CANDIDATES:
         if not cand or not Path(cand).exists():
             continue
