@@ -3,6 +3,9 @@
 # committed synthetic corpus if absent, then train under the restart
 # supervisor + hang watchdog until max_steps (configs/prod_shape_run.yaml).
 set -euo pipefail
+# zero-egress host: fail HF-hub lookups fast instead of 5 DNS retries
+# (~60-90 s wasted per supervisor restart before the local fallback)
+export HF_HUB_OFFLINE=${HF_HUB_OFFLINE:-1} TRANSFORMERS_OFFLINE=${TRANSFORMERS_OFFLINE:-1}
 DATA=${DATA:-/tmp/vdata}
 # regenerate unless a production-size corpus is already there — the same
 # path may hold the 64-triplet verify-skill smoke data, whose presence
