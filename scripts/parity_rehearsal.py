@@ -206,7 +206,10 @@ def main() -> int:
         out_dir = out_root / name
         argv = ["--dataset", name, "--checkpoint", str(model_dir),
                 "--sample-size", str(args.sample_size),
-                "--output-dir", str(out_dir)]
+                "--output-dir", str(out_dir),
+                # serving-grade ANN rides along (VERDICT r3 #8): the drill
+                # also proves the cluster-union index path end-to-end
+                "--cluster-index"]
         argv += ["--dense-checkpoint", args.dense_checkpoint]
         print(f"== benchmark {name}", flush=True)
         rc = runner_mod.main(argv)

@@ -292,23 +292,36 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
     mean_nnz = float((d_val > 0).sum(axis=1).mean())
     print(f"mean doc nnz (of top-{args.doc_top_k}): {mean_nnz:.1f}", flush=True)
 
-    # ---- exact reference host-side (scipy CSR)
-    from scipy import sparse
+    # ---- exact reference host-side (scipy CSR). ~10 CPU-min at 1M docs,
+    # so it rides a sidecar cache next to the encode cache: sweeps over
+    # the same encodings (different P/probes/rescore modes) reuse it.
+    exact_cache = None
+    if args.enc_cache:
+        exact_cache = Path(args.enc_cache).with_suffix(
+            f".exact_d{args.docs}_q{args.queries}_k{args.k}.npz")
+    if exact_cache is not None and exact_cache.exists():
+        exact = np.load(exact_cache)["exact"]
+        print(f"loaded exact reference {exact_cache}", flush=True)
+    else:
+        from scipy import sparse
 
-    t0 = time.time()
-    indptr = np.arange(0, (args.docs + 1) * args.doc_top_k, args.doc_top_k)
-    docs_csr = sparse.csr_matrix(
-        (d_val.reshape(-1), d_idx.reshape(-1).astype(np.int64), indptr),
-        shape=(args.docs, V))
-    q_dense = np.zeros((args.queries, V), np.float32)
-    for i in range(args.queries):
-        q_dense[i, q_idx[i]] = q_val[i]
-    scores = docs_csr @ q_dense.T  # [docs, Q]
-    part = np.argpartition(-scores, args.k - 1, axis=0)[: args.k]  # [k, Q]
-    part_scores = np.take_along_axis(scores, part, axis=0)
-    order = np.argsort(-part_scores, axis=0)
-    exact = np.take_along_axis(part, order, axis=0).T  # [Q, k]
-    print(f"exact reference in {time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        indptr = np.arange(0, (args.docs + 1) * args.doc_top_k,
+                           args.doc_top_k)
+        docs_csr = sparse.csr_matrix(
+            (d_val.reshape(-1), d_idx.reshape(-1).astype(np.int64), indptr),
+            shape=(args.docs, V))
+        q_dense = np.zeros((args.queries, V), np.float32)
+        for i in range(args.queries):
+            q_dense[i, q_idx[i]] = q_val[i]
+        scores = docs_csr @ q_dense.T  # [docs, Q]
+        part = np.argpartition(-scores, args.k - 1, axis=0)[: args.k]
+        part_scores = np.take_along_axis(scores, part, axis=0)
+        order = np.argsort(-part_scores, axis=0)
+        exact = np.take_along_axis(part, order, axis=0).T  # [Q, k]
+        print(f"exact reference in {time.time()-t0:.0f}s", flush=True)
+        if exact_cache is not None:
+            np.savez_compressed(exact_cache, exact=exact)
 
     # ---- postings index (two-phase), one build per P over the shared encode
     import jax

@@ -46,6 +46,7 @@ class BenchmarkRunner:
         index_backend: str = "exact",
         external_dense_encoder=None,
         bm25_analyzer=None,
+        cluster_index: bool = False,
     ):
         self.data = data
         self.sparse_encoder = sparse_encoder
@@ -56,6 +57,7 @@ class BenchmarkRunner:
         self.top_k = top_k
         self.include_hybrid = include_hybrid
         self.index_backend = index_backend
+        self.cluster_index = cluster_index
         self.output_dir = Path(output_dir)
         self.searchers: Dict[str, BaseSearcher] = {}
         self.results: Dict[str, List[QueryResult]] = {}
@@ -228,6 +230,27 @@ class BenchmarkRunner:
             logger.info("sparse-encoded %d docs in %.1fs (avg %.1f nnz/doc)",
                         len(doc_ids), time.time() - t0, avg_nnz)
 
+        cluster_idx = None
+        if self.cluster_index and self.sparse_encoder is not None:
+            # serving-grade ANN row (VERDICT r3 #8): the SAME encodings
+            # through the cluster-union index, so the artifacts-landed
+            # drill also rehearses the approximate serving path, not only
+            # the exact backends. Small fixtures stay well-conditioned:
+            # cluster_size is clamped so the index has >= 4 clusters.
+            from splade_tpu.ops.cluster_index import TpuClusterIndex
+
+            t0 = time.time()
+            g = max(2, min(64, len(doc_ids) // 4))
+            cluster_idx = TpuClusterIndex(
+                vocab_size=vocab, cluster_size=g,
+                n_probes=max(4, min(64, (len(doc_ids) // g) // 2)),
+                posting_cap=64, posting_candidates=128)
+            for did, (idx, vals) in zip(doc_ids, vecs):
+                cluster_idx.add(did, idx, vals)
+            cluster_idx.build()
+            logger.info("cluster-union indexed %d docs in %.1fs",
+                        len(doc_ids), time.time() - t0)
+
         dense_index = None
         if self.dense_encoder is not None:
             t0 = time.time()
@@ -241,6 +264,12 @@ class BenchmarkRunner:
             bm25_index=bm25,
             sparse_encoder=self.sparse_encoder, sparse_index=sparse_index,
             dense_encoder=self.dense_encoder, dense_index=dense_index)
+        if cluster_idx is not None:
+            from splade_tpu.benchmark.searchers import NeuralSparseSearcher
+
+            s = NeuralSparseSearcher(self.sparse_encoder, cluster_idx)
+            s.name = "neural_sparse_cluster"
+            self.searchers["neural_sparse_cluster"] = s
         if self.external_dense_encoder is not None:
             # 4th model (reference: run_comprehensive_benchmark.py's Bedrock
             # Titan) — embeddings precomputed offline, exact index here.
@@ -335,6 +364,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--index", default=env_cfg.index_backend,
                    choices=["exact", "tpu"],
                    help="sparse index backend: exact CPU CSR or TPU-resident")
+    p.add_argument("--cluster-index", action="store_true",
+                   help="also run neural_sparse through the serving-grade "
+                        "cluster-union ANN index (adds a "
+                        "neural_sparse_cluster method row)")
     p.add_argument("--bm25-analyzer", default="wordpiece",
                    choices=["wordpiece", "whitespace", "korean-heuristic",
                             "morphological"],
@@ -428,7 +461,7 @@ def main(argv: Optional[list] = None) -> int:
         top_k=args.top_k, include_hybrid=not args.no_hybrid,
         output_dir=args.output_dir or f"outputs/benchmark/{args.dataset}",
         index_backend=args.index, external_dense_encoder=external,
-        bm25_analyzer=bm25_analyzer)
+        bm25_analyzer=bm25_analyzer, cluster_index=args.cluster_index)
     if args.encodings and not args.encodings.endswith(".npz"):
         # np.savez_compressed appends .npz; normalize up front so the
         # exists() checks and the save agree on one path

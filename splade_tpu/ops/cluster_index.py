@@ -203,7 +203,8 @@ def build_cluster_arrays(doc_idx, doc_val, cluster_of: np.ndarray,
 def cluster_search_topk(summary, cluster_docs, post, d_terms, d_vals,
                         d_scale, q_idx, q_val, k: int, vocab_size: int,
                         n_probes: int, n_docs: int, posting_candidates: int,
-                        posting_scoring: str = "sort"):
+                        posting_scoring: str = "sort",
+                        rescore: str = "auto", vmapped: bool = False):
     """Union-candidate two-level search.
 
     Phase 1a (clusters): dense [B, V] x [V, K] summary matmul on the MXU,
@@ -239,7 +240,11 @@ def cluster_search_topk(summary, cluster_docs, post, d_terms, d_vals,
             min(posting_candidates, post[1].shape[1] * q_idx.shape[1]),
             n_docs, approx=False, scoring=posting_scoring)
         cand = jnp.concatenate([cand, cand_p], axis=1)
-    scores = exact_rescore(d_terms, d_vals, d_scale, qd, cand)
+    from splade_tpu.ops.postings_index import dispatch_rescore
+
+    scores = dispatch_rescore(d_terms, d_vals, d_scale, q_idx, q_val, cand,
+                              vocab_size, mode=rescore, vmapped=vmapped,
+                              qd=qd)
     # dedup the union: sort by id, kill neighbor duplicates (same doc ->
     # identical exact score, keep the first), then partial-sort
     ids_s, sc_s = jax.lax.sort((cand, scores), dimension=-1, num_keys=1)
@@ -584,7 +589,7 @@ class MeshShardedClusterIndex(TpuClusterIndex):
                 return cluster_search_topk(
                     summary, cluster_docs, post, dt, dv, ds, q_idx, q_val,
                     k_local, V, L, per, C_p,
-                    posting_scoring=self.posting_scoring)
+                    posting_scoring=self.posting_scoring, vmapped=True)
 
             vals, idxs = jax.vmap(shard_search)(tuple(arrs))
             # one owner of the cross-shard merge contract (postings_index):

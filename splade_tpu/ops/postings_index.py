@@ -211,10 +211,54 @@ def exact_rescore(d_terms, d_vals, d_scale, qd, cand):
     return (qv * w).sum(-1)                                        # [B, C]
 
 
+def resolve_rescore_mode(mode: str = "auto", vmapped: bool = False) -> str:
+    """Pick the phase-2 rescore implementation.
+
+    "gather": the original qd[b, terms] element-gather (fast on CPU, where
+    scalar gathers are cheap; pathological on TPU — measured ~0.74M
+    candidate-rescores/s at 1M docs, docs/PHASE0_COST_MODEL.md).
+    "match": the gather-free Pallas equality-match kernel
+    (ops/rescore_kernel.py) — the TPU path.
+    "match_xla": the same formulation in plain XLA — used under vmap
+    (mesh shard loops), where pallas_call batching is not guaranteed.
+    Env SPLADE_RESCORE overrides everything (benchmark A/B switch)."""
+    import os
+
+    import jax
+
+    env = os.environ.get("SPLADE_RESCORE", "").lower()
+    if env in ("gather", "match", "match_xla"):
+        mode = env
+    if mode != "auto":
+        return mode
+    if jax.default_backend() == "tpu":
+        return "match_xla" if vmapped else "match"
+    return "gather"
+
+
+def dispatch_rescore(d_terms, d_vals, d_scale, q_idx, q_val, cand,
+                     vocab_size: int, mode: str = "auto",
+                     vmapped: bool = False, qd=None):
+    """The one phase-2 entry point: exact f32 candidate scores via the mode
+    chosen by resolve_rescore_mode. All implementations are bit-compatible
+    (tests/test_rescore_kernel.py)."""
+    mode = resolve_rescore_mode(mode, vmapped)
+    if mode == "gather":
+        if qd is None:
+            qd = sparse_query_dense(q_idx, q_val, vocab_size)
+        return exact_rescore(d_terms, d_vals, d_scale, qd, cand)
+    from splade_tpu.ops.rescore_kernel import rescore_match, rescore_match_xla
+
+    if mode == "match":
+        return rescore_match(d_terms, d_vals, d_scale, q_idx, q_val, cand)
+    return rescore_match_xla(d_terms, d_vals, d_scale, q_idx, q_val, cand)
+
+
 def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
                             d_scale, q_idx, q_val, k: int, n_docs: int,
                             vocab_size: int, n_candidates: int, approx: bool,
-                            phase1_dtype=None, scoring: str = "scatter"):
+                            phase1_dtype=None, scoring: str = "scatter",
+                            rescore: str = "auto", vmapped: bool = False):
     """Two-phase kernel: short-cap postings rank ``n_candidates``, then the
     doc-major CSR re-scores them exactly. Shared by the index and benches.
 
@@ -230,8 +274,8 @@ def postings_two_phase_topk(post_docs, post_w, scale, d_terms, d_vals,
                                         q_val, n_candidates, n_docs, approx,
                                         acc_dtype=phase1_dtype,
                                         scoring=scoring)           # [B, C]
-    qd = sparse_query_dense(q_idx, q_val, vocab_size)
-    scores = exact_rescore(d_terms, d_vals, d_scale, qd, cand)     # [B, C]
+    scores = dispatch_rescore(d_terms, d_vals, d_scale, q_idx, q_val, cand,
+                              vocab_size, mode=rescore, vmapped=vmapped)
     # sort-mode phase 1 marks filler slots (beyond the distinct-doc pool)
     # with -inf and doc id 0; rescoring them would duplicate doc 0 with its
     # genuine score, so keep them -inf (scatter-mode vals are finite: no-op)
@@ -307,7 +351,8 @@ def make_mesh_postings_search_fns(n_shards: int, shard_size: int, n_docs: int,
         def shard_search(pd, pw, sc, dt, dv, ds):
             return postings_two_phase_topk(
                 pd, pw, sc, dt, dv, ds, q_idx, q_val, k_local, per, V, C,
-                approx, phase1_dtype=acc_dtype, scoring=scoring)
+                approx, phase1_dtype=acc_dtype, scoring=scoring,
+                vmapped=True)
 
         vals, idxs = jax.vmap(shard_search)(post_docs, post_w, scale,
                                             d_terms, d_vals, d_scale)

@@ -23,13 +23,11 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-_LIB_CANDIDATES = (
-    os.environ.get("SPLADE_POSTINGS_LIB") or "",
-    str(Path(__file__).resolve().parents[2]
-        / "tools" / "postings_build" / "libpostings_build.so"),
-)
+_DEFAULT_LIB = str(Path(__file__).resolve().parents[2]
+                   / "tools" / "postings_build" / "libpostings_build.so")
 _lib = None
-_checked = False
+_warned_missing_env = False
+_unusable: set = set()  # candidates whose dlopen failed (warned once each)
 
 
 def load_library() -> Optional[ctypes.CDLL]:
@@ -38,24 +36,29 @@ def load_library() -> Optional[ctypes.CDLL]:
     # later in the same process (observed: the test fixture runs `make`
     # after an earlier test already probed and cached None). Re-scanning
     # on failure costs a couple of stat() calls per call, nothing next
-    # to the work the library saves.
-    global _lib, _checked
+    # to the work the library saves. The candidate list is rebuilt from
+    # the CURRENT environment so a late-set $SPLADE_POSTINGS_LIB wins
+    # over the repo default (ADVICE r3). dlopen failures ARE memoized
+    # per candidate: a wrong-arch .so won't load on retry either, and
+    # re-warning every call spams loops that build postings repeatedly.
+    global _lib, _warned_missing_env
     if _lib is not None:
         return _lib
     env_path = os.environ.get("SPLADE_POSTINGS_LIB")
-    if env_path and not Path(env_path).exists() and not _checked:
+    if env_path and not Path(env_path).exists() and not _warned_missing_env:
         # an explicit override must not silently fall through to the
         # repo-default .so (operator expects THEIR freshly-built library)
         logger.warning("SPLADE_POSTINGS_LIB=%s does not exist; falling "
                        "back to the default library search", env_path)
-    _checked = True
-    for cand in _LIB_CANDIDATES:
-        if not cand or not Path(cand).exists():
+        _warned_missing_env = True
+    for cand in (env_path or "", _DEFAULT_LIB):
+        if not cand or cand in _unusable or not Path(cand).exists():
             continue
         try:
             lib = ctypes.CDLL(cand)
         except OSError as e:  # wrong arch / missing deps
             logger.warning("postings native lib %s unusable: %s", cand, e)
+            _unusable.add(cand)
             continue
         lib.build_postings.restype = ctypes.c_int64
         lib.build_postings.argtypes = [
