@@ -74,7 +74,8 @@ def main() -> int:
     p.add_argument("--doc-len", type=int, default=192)
     p.add_argument("--query-len", type=int, default=64)
     p.add_argument("--index", default="postings",
-                   choices=["postings", "cluster", "mesh_cluster"],
+                   choices=["postings", "cluster", "mesh_cluster",
+                            "mesh_postings"],
                    help="candidate generator: truncated postings two-phase, "
                         "the cluster-summary union index (VERDICT r2 #2), "
                         "or the mesh-sharded cluster index (doc-sharded "
@@ -373,11 +374,25 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
                     posting_candidates=args.posting_candidates,
                     posting_scoring=args.posting_scoring)
                 ran_build = True
+        elif args.index == "mesh_postings":
+            # doc-sharded postings over the mesh: each shard ranks its own
+            # candidates and rescores locally; only [D, B, k] partials cross
+            # devices. The 10M-doc design the chip pareto points to
+            # (postings > cluster at equal recall, docs/PHASE0_COST_MODEL.md)
+            from splade_tpu.ops.postings_index import MeshShardedPostingsIndex
+            from splade_tpu.parallel.mesh import make_mesh
+
+            index = MeshShardedPostingsIndex(
+                V, make_mesh(), n_postings=P,
+                query_top_t=args.query_top_k,
+                rescore_candidates=args.rescore,
+                scoring=args.posting_scoring)
+            ran_build = True
         else:
-            # scoring="auto": sort only in the small-pool regime
-            # (T*P<=4096); at P=512 the [B,T*P] bitonic sort does not
-            # finish (see _sort_crossover_note) and auto falls back to
-            # scatter phase 1
+            # scoring="auto": sort in the small-pool regime and, on TPU,
+            # through E=T*P<=32K (measured faster than scatter to 16.9K
+            # once the match rescore removed the dense-qd buffer —
+            # docs/PHASE0_COST_MODEL.md round-4d)
             index = TpuPostingsIndex(
                 V, n_postings=P, query_top_t=args.query_top_k,
                 rescore_candidates=args.rescore, scoring="auto")
@@ -441,6 +456,9 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
                 "truncated_pct": round(100.0 * index.truncated_postings
                                        / max(index.nnz, 1), 2),
             })
+            if args.index == "mesh_postings":
+                entry["shards"] = index.n_shards
+                entry["memory_mb"] = round(index.memory_bytes() / 1e6)
             key_sfx = f"p{P}"
         key = args.key if len(sweep) == 1 else f"{args.key}_{key_sfx}"
         data[key] = entry

@@ -638,15 +638,27 @@ class TpuPostingsIndex:
         return jnp.bfloat16 if self.rescore_candidates else jnp.float32
 
     def resolved_scoring(self) -> str:
-        """'scatter' or 'sort' — 'auto' resolves on the gathered pool size
-        T*P. Measured on v5e (docs/POSTINGS_BENCH.json): sort wins at the
-        two-phase short cap (T*P ~2K: 7,096 vs 5,155 QPS at 1M docs, 7.8x
-        at 10M), but the [B, E] bitonic sort degrades sharply past E~4K
-        (E=8K did not finish a 580 s budget) while scatter holds 8K+ QPS —
-        so sort only below 4096."""
+        """'scatter' or 'sort' — 'auto' resolves on backend + gathered pool
+        size T*P. Measured on v5e (docs/POSTINGS_BENCH.json): sort wins at
+        the two-phase short cap (T*P ~2K: 7,096 vs 5,155 QPS at 1M docs,
+        7.8x at 10M) AND at deep caps once the match rescore removed the
+        dense-qd buffer from the fused program (r4_sort_phase1_c1000_*:
+        E=8.4K -> 3,777 vs 3,187 QPS, E=16.9K -> 2,725 vs 2,536; the old
+        'E=8K does not finish' observation was the gather rescore poisoning
+        the whole program, docs/PHASE0_COST_MODEL.md round-4b). On TPU sort
+        is corpus-size-independent and measured-faster through E=16.9K, so
+        scatter remains only past 32K where it's unmeasured; off-TPU keep
+        the conservative 4096 bound (1-core CPU sorts are the test path,
+        not a serving path)."""
         if self.scoring != "auto":
             return self.scoring
-        return ("sort" if self.query_top_t * self.n_postings <= 4096
+        try:
+            import jax
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        bound = 32768 if on_tpu else 4096
+        return ("sort" if self.query_top_t * self.n_postings <= bound
                 else "scatter")
 
     # ---------------------------------------------------------------- search
