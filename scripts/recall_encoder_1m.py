@@ -93,9 +93,11 @@ def main() -> int:
                    help="cluster index union: side-postings cap (0 = off)")
     p.add_argument("--posting-candidates", type=int, default=128)
     p.add_argument("--posting-scoring", default="auto",
-                   choices=["auto", "sort", "scatter"],
-                   help="cluster union phase-1b aggregation (auto: sort "
-                        "iff query_top_t*posting_cap <= 4096)")
+                   choices=["auto", "sort", "scatter", "select"],
+                   help="phase-1 aggregation for postings/mesh_postings/"
+                        "cluster-union ('select' = sort-free entry top-k "
+                        "+ dedup, two-phase only; auto: see "
+                        "resolved_scoring)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--checkpoint", default="/tmp/vrun/final_model",
                    help="trained checkpoint dir (falls back to random init)")
@@ -389,13 +391,14 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
                 scoring=args.posting_scoring)
             ran_build = True
         else:
-            # scoring="auto": sort in the small-pool regime and, on TPU,
-            # through E=T*P<=32K (measured faster than scatter to 16.9K
-            # once the match rescore removed the dense-qd buffer —
-            # docs/PHASE0_COST_MODEL.md round-4d)
+            # scoring default "auto": sort in the small-pool regime and,
+            # on TPU, select (sort-free entry top-k) once measured faster
+            # — docs/PHASE0_COST_MODEL.md rounds 4d/4e; --posting-scoring
+            # overrides for A/B rows
             index = TpuPostingsIndex(
                 V, n_postings=P, query_top_t=args.query_top_k,
-                rescore_candidates=args.rescore, scoring="auto")
+                rescore_candidates=args.rescore,
+                scoring=args.posting_scoring)
             ran_build = True
         if ran_build:
             index.add_csr([str(i) for i in range(args.docs)], d_idx, d_val)
@@ -453,6 +456,7 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
         else:
             entry.update({
                 "n_postings": P, "rescore_candidates": args.rescore,
+                "posting_scoring": index.resolved_scoring(),
                 "truncated_pct": round(100.0 * index.truncated_postings
                                        / max(index.nnz, 1), 2),
             })

@@ -143,6 +143,55 @@ def _sorted_segment_topk(rows_d, contrib, k: int):
     return vals, jnp.where(vals > -jnp.inf, out_ids, 0)
 
 
+def _select_topk_candidates(rows_d, contrib, k: int, approx: bool):
+    """Sort-free phase-1 CANDIDATE SELECTION (no per-doc aggregation).
+
+    rows_d [B, T, P] doc ids, contrib [B, T, P] per-posting scores.
+    Picks the top-k posting ENTRIES per query by single-posting
+    contribution — no sort+segment-sum over the full E = T*P pool — then
+    dedups the k survivors with a k-sized single-key id sort. The round-4
+    chip profile showed phase-1's E-sized aggregation dominating e2e once
+    the match rescore made phase 2 ~free (docs/PHASE0_COST_MODEL.md
+    round-4d: 3,777 QPS with sort phase-1 at P=256); since phase-2
+    re-scores candidates EXACTLY, aggregated phase-1 scores only affect
+    *selection* quality — which a larger candidate pool recovers at the
+    now-cheap rescore price.
+
+    Semantics vs _sorted_segment_topk: a doc enters the pool iff one of
+    its individual postings ranks in the per-entry top-k (vs its summed
+    contribution ranking in the per-doc top-k). With k >= the distinct-doc
+    pool both select the same set, so two-phase results are identical
+    (tests/test_postings_index.py). Returns (vals, ids) in the same
+    contract: duplicate/filler slots are marked val=-inf, id 0 — two-phase
+    must not rescore them (they'd resurface as doc-0 duplicates) and
+    search_topk's `v > 0` filter drops them.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = rows_d.shape[0]
+    E = rows_d.shape[1] * rows_d.shape[2]
+    ids = rows_d.reshape(B, E)
+    c = contrib.reshape(B, E).astype(jnp.float32)
+    k = min(k, E)
+    if approx and k < E:
+        vals, pos = jax.lax.approx_max_k(c, k)
+    else:
+        vals, pos = jax.lax.top_k(c, k)
+    cand = jnp.take_along_axis(ids, pos, axis=1)
+    # dedup: sort the k survivors by id, keep each run's first slot.
+    # Within a run order is arbitrary — all slots of a doc rescore to the
+    # same exact score, so ANY representative is equivalent downstream.
+    sid, sval = jax.lax.sort((cand, vals), dimension=-1, num_keys=1)
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), sid[:, 1:] != sid[:, :-1]], axis=1)
+    # contribution <= 0 means a pad query slot (q_val 0) or a padded
+    # posting slot — never a real candidate (impacts are positive)
+    keep = first & (sval > 0)
+    return (jnp.where(keep, sval, -jnp.inf),
+            jnp.where(keep, sid, 0))
+
+
 def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
                         n_docs: int, approx: bool, acc_dtype=None,
                         scoring: str = "scatter"):
@@ -154,7 +203,10 @@ def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
     ``scoring``: "scatter" adds contributions into a [B, n_docs]
     accumulator (O(N) traffic; right when T*P is huge or N is small);
     "sort" aggregates the gathered [B, T*P] postings by sort+segment-sum
-    — corpus-size-independent, the short-cap/two-phase fast path.
+    — corpus-size-independent, the short-cap/two-phase fast path;
+    "select" skips aggregation entirely (top-k posting ENTRIES, deduped)
+    — phase-1-of-two-phase ONLY: its scores are single-posting
+    contributions, not doc totals, so they must never be final scores.
 
     ``acc_dtype`` (scatter only): accumulator dtype. float32 (default)
     for exact scores; bfloat16 halves the dominant [B, N] buffer — use it
@@ -169,8 +221,10 @@ def postings_score_topk(post_docs, post_w, scale, q_idx, q_val, k: int,
         acc_dtype = jnp.float32
     rows_d = post_docs[q_idx]                       # [B, T, P] gather
     qw = q_val * scale[q_idx]                       # [B, T]
-    if scoring == "sort":
+    if scoring in ("sort", "select"):
         contrib = post_w[q_idx].astype(jnp.float32) * qw[:, :, None]
+        if scoring == "select":
+            return _select_topk_candidates(rows_d, contrib, k, approx)
         return _sorted_segment_topk(rows_d, contrib, k)
     rows_w = post_w[q_idx].astype(jnp.bfloat16)
     contrib = rows_w * qw[:, :, None].astype(jnp.bfloat16)
@@ -395,13 +449,16 @@ class TpuPostingsIndex:
         candidates; phase 2 re-scores in f32), f32 when single-phase.
         Only used under scatter scoring.
 
-        scoring: "scatter" | "sort" | "auto" — how gathered postings
-        aggregate per doc. "scatter" adds into a [B, N] accumulator (O(N)
-        HBM traffic per batch); "sort" sorts the [B, T*P] gathered pairs
-        and segment-sums runs — corpus-size-INDEPENDENT, the right choice
-        whenever T*P is small (short caps / two-phase). "auto" picks sort
-        when T*P <= 4096, scatter otherwise (measured crossover — see
-        resolved_scoring)."""
+        scoring: "scatter" | "sort" | "select" | "auto" — how gathered
+        postings aggregate per doc. "scatter" adds into a [B, N]
+        accumulator (O(N) HBM traffic per batch); "sort" sorts the
+        [B, T*P] gathered pairs and segment-sums runs — corpus-size-
+        INDEPENDENT, the right choice whenever T*P is small (short caps /
+        two-phase); "select" skips per-doc aggregation entirely — top-k
+        posting ENTRIES by single-posting contribution, deduped — valid
+        ONLY with rescore_candidates > 0 (phase-1 scores are then
+        selection-only; phase 2 produces the exact finals). "auto" picks
+        per backend + pool size (see resolved_scoring)."""
         self.vocab_size = vocab_size
         self.n_postings = n_postings
         self.query_top_t = query_top_t
@@ -411,8 +468,13 @@ class TpuPostingsIndex:
         if phase1_acc not in ("auto", "f32", "bf16"):
             raise ValueError(f"phase1_acc: {phase1_acc!r}")
         self.phase1_acc = phase1_acc
-        if scoring not in ("auto", "scatter", "sort"):
+        if scoring not in ("auto", "scatter", "sort", "select"):
             raise ValueError(f"scoring: {scoring!r}")
+        if scoring == "select" and not rescore_candidates:
+            raise ValueError(
+                "scoring='select' returns single-posting contributions, "
+                "not per-doc totals — it requires the two-phase exact "
+                "rescore (rescore_candidates > 0)")
         self.scoring = scoring
         self.doc_ids: List[str] = []
         self.nnz = 0

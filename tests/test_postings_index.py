@@ -288,6 +288,93 @@ def test_auto_scoring_resolution():
         TpuPostingsIndex(V, scoring="bogus")
 
 
+def test_select_scoring_requires_two_phase():
+    """select-mode phase-1 scores are single-posting contributions, never
+    valid as final scores — single-phase construction must refuse."""
+    with pytest.raises(ValueError, match="rescore"):
+        TpuPostingsIndex(V, scoring="select")
+    TpuPostingsIndex(V, scoring="select", rescore_candidates=8)  # ok
+
+
+def test_select_scoring_two_phase_matches_sort(corpus):
+    """When the candidate pool covers the full gathered union (C >= T*P),
+    select-mode two-phase returns the SAME exact-scored results as
+    sort-mode two-phase: both rescore every distinct gathered doc."""
+    kw = dict(n_postings=16, query_top_t=8, approx=False,
+              rescore_candidates=128)  # C == E = 8*16: full union coverage
+    sort = TpuPostingsIndex(V, scoring="sort", **kw)
+    sel = TpuPostingsIndex(V, scoring="select", **kw)
+    for i, (idx, val) in enumerate(corpus):
+        sort.add(f"d{i}", idx, val)
+        sel.add(f"d{i}", idx, val)
+    sort.build()
+    sel.build()
+    qi, qv = synth_queries(b=16)
+    got_a = sort.search_topk(qi, qv, k=5)
+    got_b = sel.search_topk(qi, qv, k=5)
+    for a, b in zip(got_a, got_b):
+        assert {d for d, _ in a} == {d for d, _ in b}
+        sa, sb = dict(a), dict(b)
+        for d in sa:
+            assert sa[d] == pytest.approx(sb[d], rel=1e-6, abs=1e-7)
+
+
+def test_select_scoring_no_duplicates_and_exact_scores(corpus):
+    """Tight candidate pool: entries of a doc hit by several query terms
+    enter the top-C' multiple times — dedup must keep results duplicate-
+    free, and scores must be IDENTICAL to sort-mode two-phase (the same
+    phase-2 rescore), within int8-quantization noise of the f32 oracle."""
+    exact = ExactSparseIndex(vocab_size=V)
+    kw = dict(n_postings=16, query_top_t=8, approx=False,
+              rescore_candidates=32)
+    sel = TpuPostingsIndex(V, scoring="select", **kw)
+    sort = TpuPostingsIndex(V, scoring="sort", **kw)
+    for i, (idx, val) in enumerate(corpus):
+        exact.add(f"d{i}", idx, val)
+        sel.add(f"d{i}", idx, val)
+        sort.add(f"d{i}", idx, val)
+    sel.build()
+    sort.build()
+    qi, qv = synth_queries(b=32)
+    got = sel.search_topk(qi, qv, k=20)
+    got_sort = sort.search_topk(qi, qv, k=20)
+    for b in range(len(qi)):
+        docs = [d for d, _ in got[b]]
+        assert len(docs) == len(set(docs)), f"duplicate results: {docs}"
+        ref = dict(exact.search_vector(qi[b], qv[b], k=len(corpus)))
+        srt = dict(got_sort[b])
+        for d, s in got[b]:
+            # the rescore path is shared: common docs score bit-equal
+            if d in srt:
+                assert s == srt[d]
+            # vs the f32 oracle only int8 doc-major quantization differs;
+            # k=20 reaches tail scores (~0.25) where the per-term quant
+            # step (max|w|/127 ~ 0.02) accumulates — loose bound only
+            assert s == pytest.approx(ref[d], rel=0.05, abs=0.05)
+
+
+def test_select_candidates_unit():
+    """_select_topk_candidates contract: dup/filler slots -> (-inf, 0);
+    survivors carry their single-posting contribution."""
+    import jax.numpy as jnp
+
+    from splade_tpu.ops.postings_index import _select_topk_candidates
+
+    # one query, 2 terms x 3 postings; doc 7 appears under both terms
+    rows_d = jnp.asarray([[[7, 3, 5], [7, 9, 0]]], jnp.int32)
+    contrib = jnp.asarray([[[4.0, 3.0, 1.0], [2.0, 1.5, 0.0]]])
+    vals, ids = _select_topk_candidates(rows_d, contrib, k=6, approx=False)
+    vals, ids = np.asarray(vals[0]), np.asarray(ids[0])
+    kept = {int(i): float(v) for i, v in zip(ids, vals) if v != -np.inf}
+    # doc 7 deduped (one slot survives), zero-contrib entry (doc 0) dropped
+    assert set(kept) == {7, 3, 5, 9}
+    assert kept[3] == pytest.approx(3.0)
+    assert kept[9] == pytest.approx(1.5)
+    # exactly 2 dropped slots: the dup of doc 7 and the zero entry
+    assert int((vals == -np.inf).sum()) == 2
+    assert all(int(i) == 0 for i, v in zip(ids, vals) if v == -np.inf)
+
+
 def test_mesh_sharded_sort_scoring(corpus):
     """Sort-mode aggregation inside each mesh shard: same results as the
     single-device sort index (lossless cap)."""
