@@ -11,11 +11,12 @@ cd "$(dirname "$0")/.."
 AGENDA=${1:-scripts/round4_tpu_agenda.sh}
 DEADLINE=${2:-$(($(date +%s) + 39600))}   # default: 11h from launch
 STAGES=${STAGES:-"encode postings_deep cluster_deep cluster_sweep topical bench"}
+PREFIX=${PREFIX:-r4}   # done-marker prefix: /tmp/${PREFIX}_done_<stage>
 LOG=/tmp/agenda_supervisor.log
 echo "[supervisor] start $(date -u +%F-%T) agenda=$AGENDA deadline=$DEADLINE" >>"$LOG"
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   all_done=1
-  for s in $STAGES; do [ -f "/tmp/r4_done_$s" ] || all_done=0; done
+  for s in $STAGES; do [ -f "/tmp/${PREFIX}_done_$s" ] || all_done=0; done
   if [ "$all_done" = 1 ]; then
     echo "[supervisor] all stages done $(date -u +%F-%T)" >>"$LOG"
     exit 0

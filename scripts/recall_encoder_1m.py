@@ -26,7 +26,6 @@ from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
 
 import argparse
-import json
 import time
 from pathlib import Path
 
@@ -74,14 +73,21 @@ def main() -> int:
     p.add_argument("--doc-len", type=int, default=192)
     p.add_argument("--query-len", type=int, default=64)
     p.add_argument("--index", default="postings",
-                   choices=["postings", "cluster", "mesh_cluster",
+                   choices=["postings", "tiered", "cluster", "mesh_cluster",
                             "mesh_postings"],
                    help="candidate generator: truncated postings two-phase, "
+                        "DF-tiered postings (per-term budgets via a hot-"
+                        "term continuation tier — the hot-term-regime "
+                        "design, ops/tiered_postings.py), "
                         "the cluster-summary union index (VERDICT r2 #2), "
                         "or the mesh-sharded cluster index (doc-sharded "
                         "over jax.devices() — the past-single-chip-HBM "
                         "design point; needs a multi-device env, e.g. "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+    p.add_argument("--hot-terms", type=int, default=2048,
+                   help="tiered: max hot-tier rows H")
+    p.add_argument("--hot-postings", type=int, default=8192,
+                   help="tiered: hot-tier continuation depth P_hot")
     p.add_argument("--n-postings", default="128",
                    help="comma-separated P values — the encode pass is "
                         "shared, each P gets its own index build + entry")
@@ -99,6 +105,13 @@ def main() -> int:
                         "+ dedup, two-phase only; auto: see "
                         "resolved_scoring)")
     p.add_argument("--k", type=int, default=10)
+    p.add_argument("--search-batch", type=int, default=0,
+                   help="split the query batch into chunks of this size "
+                        "for the timed search (0 = one call). Large "
+                        "rescore pools (C >= 4000) materialize [B, C, M] "
+                        "intermediates — 4+ GB at B=1024/C=8000 — so the "
+                        "C sweep chunks to bound device memory; timing "
+                        "covers all chunks (the realistic serving shape)")
     p.add_argument("--checkpoint", default="/tmp/vrun/final_model",
                    help="trained checkpoint dir (falls back to random init)")
     p.add_argument("--out", default="docs/POSTINGS_BENCH.json")
@@ -333,7 +346,6 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
     from splade_tpu.ops.postings_index import TpuPostingsIndex
 
     out = Path(args.out)
-    data = json.loads(out.read_text()) if out.exists() else {}
     if args.index in ("cluster", "mesh_cluster"):
         sweep = [int(x) for x in str(args.probes).split(",")]
     else:
@@ -390,6 +402,16 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
                 rescore_candidates=args.rescore,
                 scoring=args.posting_scoring)
             ran_build = True
+        elif args.index == "tiered":
+            from splade_tpu.ops.tiered_postings import TieredPostingsIndex
+
+            index = TieredPostingsIndex(
+                V, n_postings=P, hot_terms=args.hot_terms,
+                hot_postings=args.hot_postings,
+                query_top_t=args.query_top_k,
+                rescore_candidates=args.rescore,
+                scoring=args.posting_scoring)
+            ran_build = True
         else:
             # scoring default "auto": sort in the small-pool regime and,
             # on TPU, select (sort-free entry top-k) once measured faster
@@ -411,9 +433,18 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
         # jit recompiles per shape, so a small-slice warmup would leave
         # trace+compile inside the timed region (VERDICT r2 #2: persist
         # QPS at the honest operating point).
-        index.search_topk(q_idx, q_val, k=args.k)
+        SB = args.search_batch or len(q_idx)
+
+        def timed_search():
+            res = []
+            for s in range(0, len(q_idx), SB):
+                res.extend(index.search_topk(q_idx[s:s + SB],
+                                             q_val[s:s + SB], k=args.k))
+            return res
+
+        index.search_topk(q_idx[:SB], q_val[:SB], k=args.k)  # compile
         t0 = time.time()
-        got = index.search_topk(q_idx, q_val, k=args.k)
+        got = timed_search()
         search_s = time.time() - t0
         recalls = []
         for qi in range(args.queries):
@@ -440,6 +471,8 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
             "qps": round(args.queries / max(search_s, 1e-9), 1),
             "total_s": round(time.time() - t_all, 1),
         }
+        if args.search_batch:
+            entry["search_batch"] = args.search_batch
         if args.index in ("cluster", "mesh_cluster"):
             entry.update({
                 "cluster_size": args.cluster_size, "n_probes": P,
@@ -463,10 +496,20 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
             if args.index == "mesh_postings":
                 entry["shards"] = index.n_shards
                 entry["memory_mb"] = round(index.memory_bytes() / 1e6)
+            if args.index == "tiered":
+                entry.update({
+                    "hot_terms": args.hot_terms,
+                    "hot_postings": args.hot_postings,
+                    "n_hot": index.n_hot,
+                    "memory_mb": round(index.memory_bytes() / 1e6),
+                })
             key_sfx = f"p{P}"
         key = args.key if len(sweep) == 1 else f"{args.key}_{key_sfx}"
-        data[key] = entry
-        out.write_text(json.dumps(data, indent=2))
+        # refuses same-key writes with different settings (the round-4f
+        # collision that destroyed the P=256 select row — VERDICT r4 #1c)
+        from splade_tpu.benchmark.record import record_row
+
+        record_row(out, key, entry)
         print(f"wrote {out} [{key}]")
     return 0
 

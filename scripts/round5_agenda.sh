@@ -1,0 +1,181 @@
+#!/usr/bin/env bash
+# Round-5 chip agenda, in value order (VERDICT r4 "next round" #1-#6):
+#   ab_sort/ab_select  — the same-checkpoint sort-vs-select A/B round 4f
+#                        owed (same encode cache artifacts/enc_r4f.npz,
+#                        unique keys, pre-registered in
+#                        docs/PHASE0_COST_MODEL.md round-5 section)
+#   csweep             — select's C sweep 2000-8000 (north-star lever a)
+#   topenc/topsweep    — the topical ~54-nnz regime at 1M: control row +
+#                        deep-P sweep (P 1024-4096) + select/big-C point
+#   serving            — daemon load test at the round-4 operating point
+#   bench              — cold-process bench.py capture (value known; last)
+#
+# Every stage that lands a row COMMITS it (VERDICT r4 #7: a relay death
+# must not strand evidence). Markers /tmp/r5_done_<stage>; relaunch
+# resumes. Run under scripts/agenda_supervisor.sh with PREFIX=r5.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+LOG=/tmp/r5_agenda.log
+CKPT=${CKPT:-artifacts/lrun4/final_model}
+ENC=${ENC:-artifacts/enc_r4f.npz}
+ENCT=${ENCT:-artifacts/enc_r5_topical.npz}
+QUERIES=${QUERIES:-1024}
+R=scripts/recall_encoder_1m.py
+mark() { touch "/tmp/r5_done_$1"; }
+done_() { [ -f "/tmp/r5_done_$1" ]; }
+log() { echo "[r5] $* $(date -u +%T)" >>"$LOG"; }
+cache_ok() {
+  [ -s "$1" ] && python - "$1" >/dev/null 2>&1 <<'EOF'
+import numpy, sys
+numpy.load(sys.argv[1])["d_idx"]
+EOF
+}
+commit_rows() { # commit_rows <message>
+  git add docs/POSTINGS_BENCH.json docs/SERVING_LOAD.json 2>/dev/null || true
+  git diff --cached --quiet || git commit -q -m "$1" || true
+}
+log start
+
+# chip liveness gate: a dead relay means every stage would hang — probe
+# once; the supervisor relaunches us, so exiting is the retry loop
+if ! timeout 420 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+  log "chip probe failed; exiting for supervisor retry"
+  exit 7
+fi
+log "chip up"
+
+# -- stage ab_sort: the same-checkpoint sort control (r4f's sort stage
+#    timed out; these rows pair with r5_ab_select_* on the SAME encode)
+stage_ab_sort() {
+  done_ ab_sort && return 0
+  cache_ok "$ENC" || { log "ab_sort: no encode cache"; return 1; }
+  log "stage ab_sort"
+  timeout 1800 python "$R" --index postings --enc-cache "$ENC" \
+    --queries "$QUERIES" --n-postings 256,512 --rescore 1000 \
+    --posting-scoring sort --key r5_ab_sort \
+    >/tmp/r5_ab_sort.log 2>&1 && mark ab_sort
+  tail -4 /tmp/r5_ab_sort.log >>"$LOG"
+  commit_rows "Same-checkpoint sort control for the round-4f select A/B (r5_ab_sort_p256/p512)"
+}
+
+stage_ab_select() {
+  done_ ab_select && return 0
+  cache_ok "$ENC" || { log "ab_select: no encode cache"; return 1; }
+  log "stage ab_select"
+  timeout 1800 python "$R" --index postings --enc-cache "$ENC" \
+    --queries "$QUERIES" --n-postings 256,512 --rescore 1000 \
+    --posting-scoring select --key r5_ab_select \
+    >/tmp/r5_ab_select.log 2>&1 && mark ab_select
+  tail -4 /tmp/r5_ab_select.log >>"$LOG"
+  commit_rows "Select re-run with unique keys (r5_ab_select_p256/p512), same encode as the sort control"
+}
+
+# -- stage csweep: does a larger candidate pool buy select's recall back?
+#    (pre-registered prediction 2, docs/PHASE0_COST_MODEL.md round 5)
+stage_csweep() {
+  done_ csweep && return 0
+  cache_ok "$ENC" || { log "csweep: no encode cache"; return 1; }
+  log "stage csweep"
+  local ok=1
+  for C in 2000 4000 8000; do
+    timeout 1800 python "$R" --index postings --enc-cache "$ENC" \
+      --queries "$QUERIES" --n-postings 512 --rescore "$C" \
+      --posting-scoring select --search-batch 256 \
+      --key "r5_select_p512_c$C" >/tmp/r5_csel_$C.log 2>&1 || ok=0
+    tail -2 /tmp/r5_csel_$C.log >>"$LOG"
+  done
+  # sort control at C=2000 for the pareto (same chunking)
+  timeout 1800 python "$R" --index postings --enc-cache "$ENC" \
+    --queries "$QUERIES" --n-postings 512 --rescore 2000 \
+    --posting-scoring sort --search-batch 256 \
+    --key r5_sort_p512_c2000 >/tmp/r5_csort_2000.log 2>&1 || ok=0
+  tail -2 /tmp/r5_csort_2000.log >>"$LOG"
+  [ "$ok" = 1 ] && mark csweep
+  commit_rows "Select C sweep 2000-8000 at P=512 + sort C=2000 control (north-star lever a)"
+}
+
+# -- stage topenc: encode the 1M TOPICAL corpus (the published ~54-nnz
+#    regime where round-4 measured postings 0.502 / cluster 0.316) with
+#    the lrun4 checkpoint; the P=512 sort control row rides the encode
+stage_topenc() {
+  done_ topenc && return 0
+  if ! cache_ok "$ENCT"; then
+    rm -f "$ENCT"
+    log "stage topenc (encode ~30 min)"
+    timeout 5400 python "$R" --index postings --corpus topical \
+      --checkpoint "$CKPT" --enc-cache "$ENCT" --queries "$QUERIES" \
+      --n-postings 512 --rescore 1000 --posting-scoring sort \
+      --key r5_topical_sort_p512 >/tmp/r5_topenc.log 2>&1
+    tail -4 /tmp/r5_topenc.log >>"$LOG"
+  fi
+  cache_ok "$ENCT" && mark topenc
+  commit_rows "Topical 1M control row on the lrun4 checkpoint (r5_topical_sort_p512)"
+}
+
+# -- stage topsweep: deep P + select/big-C in the hot-term regime
+#    (VERDICT r4 #2: the most important open design problem)
+stage_topsweep() {
+  done_ topsweep && return 0
+  cache_ok "$ENCT" || { log "topsweep: no topical cache"; return 1; }
+  log "stage topsweep"
+  local ok=1
+  timeout 3600 python "$R" --index postings --enc-cache "$ENCT" \
+    --queries "$QUERIES" --n-postings 1024,2048,4096 --rescore 1000 \
+    --posting-scoring sort --search-batch 256 \
+    --key r5_topical_sort >/tmp/r5_topsweep.log 2>&1 || ok=0
+  tail -6 /tmp/r5_topsweep.log >>"$LOG"
+  timeout 1800 python "$R" --index postings --enc-cache "$ENCT" \
+    --queries "$QUERIES" --n-postings 2048 --rescore 4000 \
+    --posting-scoring select --search-batch 256 \
+    --key r5_topical_select_p2048_c4000 >/tmp/r5_topsel.log 2>&1 || ok=0
+  tail -2 /tmp/r5_topsel.log >>"$LOG"
+  [ "$ok" = 1 ] && mark topsweep
+  commit_rows "Topical 1M deep-P sweep (P=1024-4096) + select/C=4000 point"
+}
+
+# -- stage serving: daemon load test at the round-4 operating point
+#    (VERDICT r4 #6: the 3,777 QPS needs a server-level counterpart)
+stage_serving() {
+  done_ serving && return 0
+  log "stage serving"
+  timeout 3000 python scripts/bench_serving.py --checkpoint "$CKPT" \
+    --synthetic-docs 1000000 --index postings --n-postings 256 \
+    --rescore 1000 --clients 128 --requests 2048 \
+    >/tmp/r5_serving.log 2>&1
+  # persist the JSON line under its own key
+  python - <<'EOF' && mark serving
+import json, pathlib
+log = pathlib.Path("/tmp/r5_serving.log").read_text().strip().splitlines()
+rows = [json.loads(x) for x in log if x.startswith("{")]
+assert rows, "no JSON line in serving log"
+row = rows[-1]
+row["note"] = ("round-5 re-measure at the round-4 operating point "
+               "P=256/C=1000/sort/match, 1M synthetic-zipf docs, real "
+               "149M encoder per query, 128 clients")
+p = pathlib.Path("docs/SERVING_LOAD.json")
+d = json.loads(p.read_text())
+d["r5_operating_point_1m"] = row
+p.write_text(json.dumps(d, indent=2))
+print("wrote docs/SERVING_LOAD.json [r5_operating_point_1m]")
+EOF
+  tail -3 /tmp/r5_serving.log >>"$LOG"
+  commit_rows "Serving-daemon load test at the round-4 operating point (r5_operating_point_1m)"
+}
+
+# -- stage bench: cold-process bench.py capture (LAST: value already known)
+stage_bench() {
+  done_ bench && return 0
+  log "stage bench"
+  timeout 2400 python bench.py >/tmp/r5_bench.json 2>/tmp/r5_bench.log \
+    && mark bench
+  cat /tmp/r5_bench.json >>"$LOG" 2>/dev/null
+}
+
+stage_ab_sort
+stage_ab_select
+stage_csweep
+stage_topenc
+stage_topsweep
+stage_serving
+stage_bench
+log "all stages attempted"
