@@ -35,33 +35,27 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def invert_to_postings(
-    doc_idx: Sequence[np.ndarray], doc_val: Sequence[np.ndarray],
-    vocab_size: int, n_postings: int,
-) -> Tuple[np.ndarray, np.ndarray, int]:
-    """CSR docs -> impact-ordered truncated postings.
-
-    Returns (post_docs [V, P] int32, post_w [V, P] float32, n_truncated).
-
-    Fully vectorized and built for one host core at 10^7-doc scale (540M
-    postings, where a two-pass lexsort blows the build budget): every
-    posting packs into ONE uint64 — term id (16 bits; the 50K vocab fits),
-    complemented float16 impact bits (16; SPLADE impacts are non-negative,
-    so float bit patterns compare monotonically), posting position (32) —
-    and a single in-place np.sort orders by (term asc, impact desc) while
-    carrying the provenance, ~3x faster than argsort + gathers. Impact
-    order within a term is float16-approximate: top-P SELECTION at the cap
-    boundary can differ for impacts closer than f16 resolution (~0.1%),
-    far below the int8 quantization noise; stored values are exact float32
-    (recovered through the packed position)."""
-    V, P = vocab_size, n_postings
-    assert V < (1 << 16), "packed uint64 key needs vocab < 65536"
+def flatten_csr(doc_idx: Sequence[np.ndarray], doc_val: Sequence[np.ndarray]
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc CSR lists -> flat (terms, vals, doc_of) posting triples."""
     n = len(doc_idx)
     all_terms = np.concatenate(doc_idx)
     all_vals = np.ascontiguousarray(np.concatenate(doc_val), np.float32)
-    assert len(all_vals) < (1 << 32), "packed position field is 32-bit"
     lens = np.fromiter(map(len, doc_idx), np.int64, count=n)
     all_docs = np.repeat(np.arange(n, dtype=np.int32), lens)
+    return all_terms, all_vals, all_docs
+
+
+def invert_flat(
+    all_terms: np.ndarray, all_vals: np.ndarray, all_docs: np.ndarray,
+    vocab_size: int, n_postings: int,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Flat posting triples -> impact-ordered truncated postings (the
+    shared body of invert_to_postings; also used directly by the tiered
+    index on its hot-term subset, ops/tiered_postings.py)."""
+    V, P = vocab_size, n_postings
+    assert V < (1 << 16), "packed uint64 key needs vocab < 65536"
+    assert len(all_vals) < (1 << 32), "packed position field is 32-bit"
     # Multithreaded C++ builder when available (tools/postings_build):
     # same contract, O(nnz) bucketing instead of a global sort.
     from splade_tpu.ops.postings_native import build_postings_native
@@ -91,6 +85,30 @@ def invert_to_postings(
     post_docs[rows, offs] = all_docs[src]
     post_w[rows, offs] = all_vals[src]
     return post_docs, post_w, int((df - kept).sum())
+
+
+def invert_to_postings(
+    doc_idx: Sequence[np.ndarray], doc_val: Sequence[np.ndarray],
+    vocab_size: int, n_postings: int,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """CSR docs -> impact-ordered truncated postings.
+
+    Returns (post_docs [V, P] int32, post_w [V, P] float32, n_truncated).
+
+    Fully vectorized and built for one host core at 10^7-doc scale (540M
+    postings, where a two-pass lexsort blows the build budget): every
+    posting packs into ONE uint64 — term id (16 bits; the 50K vocab fits),
+    complemented float16 impact bits (16; SPLADE impacts are non-negative,
+    so float bit patterns compare monotonically), posting position (32) —
+    and a single in-place np.sort orders by (term asc, impact desc) while
+    carrying the provenance, ~3x faster than argsort + gathers. Impact
+    order within a term is float16-approximate: top-P SELECTION at the cap
+    boundary can differ for impacts closer than f16 resolution (~0.1%),
+    far below the int8 quantization noise; stored values are exact float32
+    (recovered through the packed position)."""
+    all_terms, all_vals, all_docs = flatten_csr(doc_idx, doc_val)
+    return invert_flat(all_terms, all_vals, all_docs, vocab_size,
+                       n_postings)
 
 
 def quantize_postings(post_w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
