@@ -170,6 +170,8 @@ def main() -> int:
         q_idx, q_val = z["q_idx"], z["q_val"]
         weights_src = str(z["weights_src"])
         V = int(z["vocab_size"])
+        if weights_src == "synthetic-csr":
+            args.vectors = "synth"  # keep the metric's vec_kind honest
         args.corpus = str(z["corpus"]) if "corpus" in z.files else "zipf"
         args.docs, args.queries = d_idx.shape[0], q_idx.shape[0]
         args.doc_top_k, args.query_top_k = d_idx.shape[1], q_idx.shape[1]
@@ -201,6 +203,14 @@ def main() -> int:
         d_val = base[d_idx] * jitter(d_idx.shape)
         q_idx = sample_ids(args.queries, args.query_top_k)
         q_val = base[q_idx] * jitter(q_idx.shape)
+        if cache is not None:
+            # synth corpora cache too: 10M-doc sweeps share the CSR and
+            # the exact-reference sidecar across P/C/index re-runs
+            np.savez_compressed(cache, d_idx=d_idx, d_val=d_val,
+                                q_idx=q_idx, q_val=q_val,
+                                weights_src="synthetic-csr", vocab_size=V,
+                                corpus=args.corpus)
+            print(f"wrote synth cache {cache}", flush=True)
         run_sweep(args, d_idx, d_val, q_idx, q_val, V, "synthetic-csr",
                   time.time())
         return 0
@@ -327,14 +337,21 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
         docs_csr = sparse.csr_matrix(
             (d_val.reshape(-1), d_idx.reshape(-1).astype(np.int64), indptr),
             shape=(args.docs, V))
-        q_dense = np.zeros((args.queries, V), np.float32)
-        for i in range(args.queries):
-            q_dense[i, q_idx[i]] = q_val[i]
-        scores = docs_csr @ q_dense.T  # [docs, Q]
-        part = np.argpartition(-scores, args.k - 1, axis=0)[: args.k]
-        part_scores = np.take_along_axis(scores, part, axis=0)
-        order = np.argsort(-part_scores, axis=0)
-        exact = np.take_along_axis(part, order, axis=0).T  # [Q, k]
+        # chunk queries: a full [docs, Q] score matrix at 10M docs x 512
+        # queries peaks ~60 GB with argpartition's int64 copy — 64-query
+        # chunks bound it at ~8 GB
+        exact = np.empty((args.queries, args.k), np.int64)
+        QC = 64
+        for s in range(0, args.queries, QC):
+            e = min(s + QC, args.queries)
+            q_dense = np.zeros((e - s, V), np.float32)
+            for i in range(s, e):
+                q_dense[i - s, q_idx[i]] = q_val[i]
+            scores = docs_csr @ q_dense.T  # [docs, qc]
+            part = np.argpartition(-scores, args.k - 1, axis=0)[: args.k]
+            part_scores = np.take_along_axis(scores, part, axis=0)
+            order = np.argsort(-part_scores, axis=0)
+            exact[s:e] = np.take_along_axis(part, order, axis=0).T
         print(f"exact reference in {time.time()-t0:.0f}s", flush=True)
         if exact_cache is not None:
             np.savez_compressed(exact_cache, exact=exact)

@@ -94,6 +94,23 @@ stage_csweep() {
   commit_rows "Select C sweep 2000-8000 at P=512 + sort C=2000 control (north-star lever a)"
 }
 
+# -- stage zipf_tiered: DF-tiered postings on the zipf cache — hot terms
+#    hold 97.5% of zipf postings too, so the hot tier may dominate the
+#    (recall, QPS) pareto at lower memory than uniform deep P
+stage_zipf_tiered() {
+  done_ zipf_tiered && return 0
+  cache_ok "$ENC" || { log "zipf_tiered: no encode cache"; return 1; }
+  log "stage zipf_tiered"
+  local ok=1
+  timeout 2400 python "$R" --index tiered --enc-cache "$ENC" \
+    --queries "$QUERIES" --n-postings 256 --hot-terms 4096 \
+    --hot-postings 8192 --rescore 1000 --search-batch 256 \
+    --key r5_zipf_tiered_h4096_ph8192 >/tmp/r5_ztier.log 2>&1 || ok=0
+  tail -2 /tmp/r5_ztier.log >>"$LOG"
+  [ "$ok" = 1 ] && mark zipf_tiered
+  commit_rows "Tiered postings on 1M zipf encoder vectors (hot tier depth 8.4K)"
+}
+
 # -- stage topenc: encode the 1M TOPICAL corpus (the published ~54-nnz
 #    regime where round-4 measured postings 0.502 / cluster 0.316) with
 #    the lrun4 checkpoint; the P=512 sort control row rides the encode
@@ -131,6 +148,27 @@ stage_topsweep() {
   tail -2 /tmp/r5_topsel.log >>"$LOG"
   [ "$ok" = 1 ] && mark topsweep
   commit_rows "Topical 1M deep-P sweep (P=1024-4096) + select/C=4000 point"
+}
+
+# -- stage toptiered: the design answer for the hot-term regime —
+#    per-term budgets concentrate depth where df demands it
+stage_toptiered() {
+  done_ toptiered && return 0
+  cache_ok "$ENCT" || { log "toptiered: no topical cache"; return 1; }
+  log "stage toptiered"
+  local ok=1
+  timeout 2400 python "$R" --index tiered --enc-cache "$ENCT" \
+    --queries "$QUERIES" --n-postings 512 --hot-terms 4096 \
+    --hot-postings 8192 --rescore 2000 --search-batch 256 \
+    --key r5_topical_tiered_h4096_ph8192 >/tmp/r5_ttier1.log 2>&1 || ok=0
+  tail -2 /tmp/r5_ttier1.log >>"$LOG"
+  timeout 2400 python "$R" --index tiered --enc-cache "$ENCT" \
+    --queries "$QUERIES" --n-postings 512 --hot-terms 8192 \
+    --hot-postings 16384 --rescore 2000 --search-batch 256 \
+    --key r5_topical_tiered_h8192_ph16384 >/tmp/r5_ttier2.log 2>&1 || ok=0
+  tail -2 /tmp/r5_ttier2.log >>"$LOG"
+  [ "$ok" = 1 ] && mark toptiered
+  commit_rows "Tiered postings in the topical hot-term regime (H=4K/8K, P_hot=8K/16K)"
 }
 
 # -- stage serving: daemon load test at the round-4 operating point
@@ -174,8 +212,10 @@ stage_bench() {
 stage_ab_sort
 stage_ab_select
 stage_csweep
+stage_zipf_tiered
 stage_topenc
 stage_topsweep
+stage_toptiered
 stage_serving
 stage_bench
 log "all stages attempted"
