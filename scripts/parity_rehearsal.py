@@ -208,8 +208,10 @@ def main() -> int:
                 "--sample-size", str(args.sample_size),
                 "--output-dir", str(out_dir),
                 # serving-grade ANN rides along (VERDICT r3 #8): the drill
-                # also proves the cluster-union index path end-to-end
-                "--cluster-index"]
+                # also proves the cluster-union index path end-to-end,
+                # plus the PRODUCTION postings serving config
+                # P=256/C=1000/sort/match (VERDICT r4 #8)
+                "--cluster-index", "--postings-index"]
         argv += ["--dense-checkpoint", args.dense_checkpoint]
         print(f"== benchmark {name}", flush=True)
         rc = runner_mod.main(argv)

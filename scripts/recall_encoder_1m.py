@@ -99,11 +99,13 @@ def main() -> int:
                    help="cluster index union: side-postings cap (0 = off)")
     p.add_argument("--posting-candidates", type=int, default=128)
     p.add_argument("--posting-scoring", default="auto",
-                   choices=["auto", "sort", "scatter", "select"],
+                   choices=["auto", "sort", "scatter", "select",
+                            "select_sum"],
                    help="phase-1 aggregation for postings/mesh_postings/"
                         "cluster-union ('select' = sort-free entry top-k "
-                        "+ dedup, two-phase only; auto: see "
-                        "resolved_scoring)")
+                        "+ dedup; 'select_sum' = entry top-(4C) pool, "
+                        "docs ranked by partial sums — both two-phase "
+                        "only; auto: see resolved_scoring)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--search-batch", type=int, default=0,
                    help="split the query batch into chunks of this size "

@@ -16,6 +16,16 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 LOG=/tmp/r5_agenda.log
+# single-instance lock: the TPU is single-tenant — a second concurrent
+# agenda (e.g. a restarted supervisor while the old instance still runs)
+# would wedge both on the device grant
+PIDFILE=/tmp/r5_agenda.pid
+if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null \
+   && [ "$(cat "$PIDFILE")" != "$$" ]; then
+  echo "[r5] another agenda instance ($(cat "$PIDFILE")) is live; exiting" >>"$LOG"
+  exit 9
+fi
+echo $$ > "$PIDFILE"
 CKPT=${CKPT:-artifacts/lrun4/final_model}
 ENC=${ENC:-artifacts/enc_r4f.npz}
 ENCT=${ENCT:-artifacts/enc_r5_topical.npz}
@@ -92,6 +102,21 @@ stage_csweep() {
   tail -2 /tmp/r5_csort_2000.log >>"$LOG"
   [ "$ok" = 1 ] && mark csweep
   commit_rows "Select C sweep 2000-8000 at P=512 + sort C=2000 control (north-star lever a)"
+}
+
+# -- stage selsum: the designed response to the r4f refutation —
+#    partial-sum selection over a 4C entry pool (pre-registered in
+#    docs/PHASE0_COST_MODEL.md round-5 select_sum section)
+stage_selsum() {
+  done_ selsum && return 0
+  cache_ok "$ENC" || { log "selsum: no encode cache"; return 1; }
+  log "stage selsum"
+  timeout 2400 python "$R" --index postings --enc-cache "$ENC" \
+    --queries "$QUERIES" --n-postings 256,512 --rescore 1000 \
+    --posting-scoring select_sum --key r5_selsum \
+    >/tmp/r5_selsum.log 2>&1 && mark selsum
+  tail -4 /tmp/r5_selsum.log >>"$LOG"
+  commit_rows "select_sum phase-1 on the zipf cache (partial-sum selection, P=256/512)"
 }
 
 # -- stage zipf_tiered: DF-tiered postings on the zipf cache — hot terms
@@ -212,6 +237,7 @@ stage_bench() {
 stage_ab_sort
 stage_ab_select
 stage_csweep
+stage_selsum
 stage_zipf_tiered
 stage_topenc
 stage_topsweep

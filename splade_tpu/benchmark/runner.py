@@ -47,6 +47,7 @@ class BenchmarkRunner:
         external_dense_encoder=None,
         bm25_analyzer=None,
         cluster_index: bool = False,
+        postings_index: bool = False,
     ):
         self.data = data
         self.sparse_encoder = sparse_encoder
@@ -58,6 +59,7 @@ class BenchmarkRunner:
         self.include_hybrid = include_hybrid
         self.index_backend = index_backend
         self.cluster_index = cluster_index
+        self.postings_index = postings_index
         self.output_dir = Path(output_dir)
         self.searchers: Dict[str, BaseSearcher] = {}
         self.results: Dict[str, List[QueryResult]] = {}
@@ -251,6 +253,26 @@ class BenchmarkRunner:
             logger.info("cluster-union indexed %d docs in %.1fs",
                         len(doc_ids), time.time() - t0)
 
+        postings_idx = None
+        if self.postings_index and self.sparse_encoder is not None:
+            # the PRODUCTION serving configuration (VERDICT r4 #8): the
+            # round-4 operating point P=256/C=1000, sort phase-1 + match
+            # rescore — so the artifacts-landed drill rehearses the index
+            # config that would actually serve, not only the exact
+            # backends. C is clamped to the fixture size.
+            from splade_tpu.ops.postings_index import TpuPostingsIndex
+
+            t0 = time.time()
+            postings_idx = TpuPostingsIndex(
+                vocab_size=vocab, n_postings=256, query_top_t=32,
+                rescore_candidates=min(1000, len(doc_ids)),
+                scoring="sort")
+            for did, (idx, vals) in zip(doc_ids, vecs):
+                postings_idx.add(did, idx, vals)
+            postings_idx.build()
+            logger.info("postings (serving config) indexed %d docs in "
+                        "%.1fs", len(doc_ids), time.time() - t0)
+
         dense_index = None
         if self.dense_encoder is not None:
             t0 = time.time()
@@ -270,6 +292,12 @@ class BenchmarkRunner:
             s = NeuralSparseSearcher(self.sparse_encoder, cluster_idx)
             s.name = "neural_sparse_cluster"
             self.searchers["neural_sparse_cluster"] = s
+        if postings_idx is not None:
+            from splade_tpu.benchmark.searchers import NeuralSparseSearcher
+
+            s = NeuralSparseSearcher(self.sparse_encoder, postings_idx)
+            s.name = "neural_sparse_postings"
+            self.searchers["neural_sparse_postings"] = s
         if self.external_dense_encoder is not None:
             # 4th model (reference: run_comprehensive_benchmark.py's Bedrock
             # Titan) — embeddings precomputed offline, exact index here.
@@ -368,6 +396,11 @@ def main(argv: Optional[list] = None) -> int:
                    help="also run neural_sparse through the serving-grade "
                         "cluster-union ANN index (adds a "
                         "neural_sparse_cluster method row)")
+    p.add_argument("--postings-index", action="store_true",
+                   help="also run neural_sparse through the PRODUCTION "
+                        "postings serving config (P=256/C=1000, sort "
+                        "phase-1 + match rescore — adds a "
+                        "neural_sparse_postings method row)")
     p.add_argument("--bm25-analyzer", default="wordpiece",
                    choices=["wordpiece", "whitespace", "korean-heuristic",
                             "morphological"],
@@ -461,7 +494,8 @@ def main(argv: Optional[list] = None) -> int:
         top_k=args.top_k, include_hybrid=not args.no_hybrid,
         output_dir=args.output_dir or f"outputs/benchmark/{args.dataset}",
         index_backend=args.index, external_dense_encoder=external,
-        bm25_analyzer=bm25_analyzer, cluster_index=args.cluster_index)
+        bm25_analyzer=bm25_analyzer, cluster_index=args.cluster_index,
+        postings_index=args.postings_index)
     if args.encodings and not args.encodings.endswith(".npz"):
         # np.savez_compressed appends .npz; normalize up front so the
         # exists() checks and the save agree on one path

@@ -40,8 +40,9 @@ from typing import Tuple
 import numpy as np
 
 from splade_tpu.ops.postings_index import (
-    TpuPostingsIndex, _select_topk_candidates, _sorted_segment_topk,
-    dispatch_rescore, flatten_csr, invert_flat, quantize_postings)
+    TpuPostingsIndex, _select_sum_topk, _select_topk_candidates,
+    _sorted_segment_topk, dispatch_rescore, flatten_csr, invert_flat,
+    quantize_postings)
 
 logger = logging.getLogger(__name__)
 
@@ -135,6 +136,8 @@ def tiered_score_topk(cold_docs, cold_w, cold_scale, hot_slot, hot_docs,
     contrib = jnp.concatenate([contrib_c, contrib_h], axis=2)
     if scoring == "select":
         return _select_topk_candidates(rows_d, contrib, k, approx)
+    if scoring == "select_sum":
+        return _select_sum_topk(rows_d, contrib, k, approx)
     return _sorted_segment_topk(rows_d, contrib, k)
 
 

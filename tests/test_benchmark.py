@@ -312,6 +312,19 @@ class TestRunnerEndToEnd:
         assert m["dataset"] == "synthetic"
         assert "neural_sparse vs bm25" in m["statistical_tests"]
 
+    def test_postings_index_method_row(self, tmp_path):
+        """--postings-index adds the production serving-config row
+        (P=256/C=1000/sort/match — VERDICT r4 #8) next to the exact
+        neural_sparse row, and on discriminative fixtures it matches."""
+        data = synthetic_benchmark()
+        runner = BenchmarkRunner(
+            data, sparse_encoder=ToySparse(), postings_index=True,
+            output_dir=str(tmp_path))
+        summary = runner.run()
+        assert "neural_sparse_postings" in summary
+        assert (summary["neural_sparse_postings"]["recall@1"]
+                == summary["neural_sparse"]["recall@1"])
+
     def test_external_dense_model_and_cross_model_hybrids(self, tmp_path):
         """PrecomputedDenseEncoder joins as a 4th model with cross-model
         fusions (reference comprehensive-benchmark / Bedrock Titan path)."""

@@ -375,6 +375,89 @@ def test_select_candidates_unit():
     assert all(int(i) == 0 for i, v in zip(ids, vals) if v == -np.inf)
 
 
+def test_select_sum_unit():
+    """_select_sum_topk contract: docs ranked by PARTIAL sums over the
+    selected entry pool; fillers -> (-inf, 0); zero/pad entries never
+    form candidates."""
+    import jax.numpy as jnp
+
+    from splade_tpu.ops.postings_index import _select_sum_topk
+
+    # doc 7 has two mid postings (2.0 + 2.0 = 4.0) that individually lose
+    # to doc 3's single 3.0 — per-entry 'select' at k=1 would pick doc 3;
+    # select_sum's pooled partial sums rank doc 7 first
+    rows_d = jnp.asarray([[[7, 3, 5], [7, 9, 0]]], jnp.int32)
+    contrib = jnp.asarray([[[2.0, 3.0, 1.0], [2.0, 1.5, 0.0]]])
+    vals, ids = _select_sum_topk(rows_d, contrib, k=2, approx=False,
+                                 pool_mult=3)  # pool covers all 5 real
+    vals, ids = np.asarray(vals[0]), np.asarray(ids[0])
+    assert ids[0] == 7 and vals[0] == pytest.approx(4.0)
+    assert ids[1] == 3 and vals[1] == pytest.approx(3.0)
+    # tiny pool (k=1, mult=1): only the single strongest entry survives
+    vals1, ids1 = _select_sum_topk(rows_d, contrib, k=1, approx=False,
+                                   pool_mult=1)
+    assert int(np.asarray(ids1[0])[0]) == 3
+
+
+def test_select_sum_two_phase_matches_sort_when_pool_covers(corpus):
+    """With the entry pool covering E, select_sum's candidate set equals
+    sort's, so two-phase results match exactly."""
+    results = {}
+    for scoring in ("sort", "select_sum"):
+        post = TpuPostingsIndex(V, n_postings=64, query_top_t=8,
+                                rescore_candidates=300, approx=False,
+                                scoring=scoring)
+        for i, (idx, val) in enumerate(corpus):
+            post.add(f"d{i}", idx, val)
+        post.build()
+        qi, qv = synth_queries()
+        results[scoring] = post.search_topk(qi, qv, k=10)
+    assert results["sort"] == results["select_sum"]
+
+
+def test_select_sum_dominates_select_at_equal_budget():
+    """A corpus where summed mid-rank evidence decides the ranking:
+    select_sum recovers docs that per-entry select misses."""
+    rng = np.random.default_rng(7)
+    n, t = 400, 4
+    corpus = []
+    for i in range(n):
+        idx = np.array([0, 1, 2, 3], np.int32)
+        if i < 4:        # "spread" docs: moderate on all 4 terms
+            val = np.full(t, 2.0, np.float32)
+        elif i < 44:     # 40 "spike" docs: one entry above the spreads
+            val = (rng.random(t) * 0.3).astype(np.float32)
+            val[i % t] = 2.5
+        else:            # background noise
+            val = (rng.random(t) * 0.3).astype(np.float32)
+        corpus.append((idx, val))
+    qi = np.tile(np.arange(t, dtype=np.int32), (8, 1))
+    qv = np.ones((8, t), np.float32)
+    exact = ExactSparseIndex(vocab_size=V)
+    for i, (idx, val) in enumerate(corpus):
+        exact.add(f"d{i}", idx, val)
+
+    def recall(scoring, C=16):
+        post = TpuPostingsIndex(V, n_postings=n, query_top_t=8,
+                                rescore_candidates=C, approx=False,
+                                scoring=scoring)
+        for i, (idx, val) in enumerate(corpus):
+            post.add(f"d{i}", idx, val)
+        post.build()
+        got = post.search_topk(qi, qv, k=4)
+        hits = 0
+        for b in range(len(qi)):
+            want = {d for d, _ in exact.search_vector(qi[b], qv[b], k=4)}
+            hits += len(want & {d for d, _ in got[b]})
+        return hits / (len(qi) * 4)
+
+    # exact top-4 = the spread docs (sum 8.0 vs spike ~3.4); per-entry
+    # select at C=16 fills its pool with spikes (2.5 > 2.0 per entry)
+    r_select, r_select_sum = recall("select"), recall("select_sum")
+    assert r_select_sum == pytest.approx(1.0)
+    assert r_select < r_select_sum
+
+
 def test_mesh_sharded_sort_scoring(corpus):
     """Sort-mode aggregation inside each mesh shard: same results as the
     single-device sort index (lossless cap)."""
