@@ -60,7 +60,7 @@ stage_ab_sort() {
   done_ ab_sort && return 0
   cache_ok "$ENC" || { log "ab_sort: no encode cache"; return 1; }
   log "stage ab_sort"
-  timeout 1800 python "$R" --index postings --enc-cache "$ENC" \
+  timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
     --queries "$QUERIES" --n-postings 256,512 --rescore 1000 \
     --posting-scoring sort --key r5_ab_sort \
     >/tmp/r5_ab_sort.log 2>&1 && mark ab_sort
@@ -72,7 +72,7 @@ stage_ab_select() {
   done_ ab_select && return 0
   cache_ok "$ENC" || { log "ab_select: no encode cache"; return 1; }
   log "stage ab_select"
-  timeout 1800 python "$R" --index postings --enc-cache "$ENC" \
+  timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
     --queries "$QUERIES" --n-postings 256,512 --rescore 1000 \
     --posting-scoring select --key r5_ab_select \
     >/tmp/r5_ab_select.log 2>&1 && mark ab_select
@@ -88,14 +88,14 @@ stage_csweep() {
   log "stage csweep"
   local ok=1
   for C in 2000 4000 8000; do
-    timeout 1800 python "$R" --index postings --enc-cache "$ENC" \
+    timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
       --queries "$QUERIES" --n-postings 512 --rescore "$C" \
       --posting-scoring select --search-batch 256 \
       --key "r5_select_p512_c$C" >/tmp/r5_csel_$C.log 2>&1 || ok=0
     tail -2 /tmp/r5_csel_$C.log >>"$LOG"
   done
   # sort control at C=2000 for the pareto (same chunking)
-  timeout 1800 python "$R" --index postings --enc-cache "$ENC" \
+  timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
     --queries "$QUERIES" --n-postings 512 --rescore 2000 \
     --posting-scoring sort --search-batch 256 \
     --key r5_sort_p512_c2000 >/tmp/r5_csort_2000.log 2>&1 || ok=0
@@ -111,7 +111,7 @@ stage_selsum() {
   done_ selsum && return 0
   cache_ok "$ENC" || { log "selsum: no encode cache"; return 1; }
   log "stage selsum"
-  timeout 2400 python "$R" --index postings --enc-cache "$ENC" \
+  timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
     --queries "$QUERIES" --n-postings 256,512 --rescore 1000 \
     --posting-scoring select_sum --key r5_selsum \
     >/tmp/r5_selsum.log 2>&1 && mark selsum
@@ -127,7 +127,7 @@ stage_zipf_tiered() {
   cache_ok "$ENC" || { log "zipf_tiered: no encode cache"; return 1; }
   log "stage zipf_tiered"
   local ok=1
-  timeout 2400 python "$R" --index tiered --enc-cache "$ENC" \
+  timeout 3600 python "$R" --index tiered --enc-cache "$ENC" \
     --queries "$QUERIES" --n-postings 256 --hot-terms 4096 \
     --hot-postings 8192 --rescore 1000 --search-batch 256 \
     --key r5_zipf_tiered_h4096_ph8192 >/tmp/r5_ztier.log 2>&1 || ok=0
@@ -166,7 +166,7 @@ stage_topsweep() {
     --posting-scoring sort --search-batch 256 \
     --key r5_topical_sort >/tmp/r5_topsweep.log 2>&1 || ok=0
   tail -6 /tmp/r5_topsweep.log >>"$LOG"
-  timeout 1800 python "$R" --index postings --enc-cache "$ENCT" \
+  timeout 3600 python "$R" --index postings --enc-cache "$ENCT" \
     --queries "$QUERIES" --n-postings 2048 --rescore 4000 \
     --posting-scoring select --search-batch 256 \
     --key r5_topical_select_p2048_c4000 >/tmp/r5_topsel.log 2>&1 || ok=0
@@ -182,12 +182,12 @@ stage_toptiered() {
   cache_ok "$ENCT" || { log "toptiered: no topical cache"; return 1; }
   log "stage toptiered"
   local ok=1
-  timeout 2400 python "$R" --index tiered --enc-cache "$ENCT" \
+  timeout 3600 python "$R" --index tiered --enc-cache "$ENCT" \
     --queries "$QUERIES" --n-postings 512 --hot-terms 4096 \
     --hot-postings 8192 --rescore 2000 --search-batch 256 \
     --key r5_topical_tiered_h4096_ph8192 >/tmp/r5_ttier1.log 2>&1 || ok=0
   tail -2 /tmp/r5_ttier1.log >>"$LOG"
-  timeout 2400 python "$R" --index tiered --enc-cache "$ENCT" \
+  timeout 3600 python "$R" --index tiered --enc-cache "$ENCT" \
     --queries "$QUERIES" --n-postings 512 --hot-terms 8192 \
     --hot-postings 16384 --rescore 2000 --search-batch 256 \
     --key r5_topical_tiered_h8192_ph16384 >/tmp/r5_ttier2.log 2>&1 || ok=0

@@ -120,6 +120,43 @@ def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
     return fused
 
 
+def make_fused_tiered_search_fn(model, banned, top_t: int, n_docs: int,
+                                approx: bool, vocab_size: int,
+                                n_candidates: int, acc_dtype,
+                                scoring: str):
+    """Fused encode→search for TieredPostingsIndex-backed serving: same
+    one-dispatch contract as the uniform-postings fn, with the 7-array
+    tiered phase-1 structure (cold tier + hot-slot remap + hot tier).
+
+    Single-phase: (params, cd, cw, cs, hs, hd, hw, hsc, ids, mask, k)
+    Two-phase (+d_terms, d_vals, d_scale before ids)."""
+    from splade_tpu.ops.tiered_postings import (tiered_score_topk,
+                                                tiered_two_phase_topk)
+
+    encode_query = _make_encode_query(model, banned, top_t)
+
+    if n_candidates:
+        def fused2(p, cd, cw, cs, hs, hd, hw, hsc, d_terms, d_vals,
+                   d_scale, ids, mask, k):
+            q_val, q_idx = encode_query(p, ids, mask)
+            vals, idxs = tiered_two_phase_topk(
+                cd, cw, cs, hs, hd, hw, hsc, d_terms, d_vals, d_scale,
+                q_idx, q_val, k, n_docs, vocab_size, n_candidates,
+                approx, phase1_dtype=acc_dtype, scoring=scoring)
+            return vals, idxs, q_val, q_idx
+
+        return fused2
+
+    def fused(p, cd, cw, cs, hs, hd, hw, hsc, ids, mask, k):
+        q_val, q_idx = encode_query(p, ids, mask)
+        vals, idxs = tiered_score_topk(
+            cd, cw, cs, hs, hd, hw, hsc, q_idx, q_val, k, n_docs,
+            approx, acc_dtype=acc_dtype, scoring=scoring)
+        return vals, idxs, q_val, q_idx
+
+    return fused
+
+
 def make_fused_cluster_search_fn(model, banned, top_t: int, n_docs: int,
                                  vocab_size: int, n_probes: int,
                                  posting_candidates: int, with_post: bool,
@@ -313,6 +350,18 @@ class ServingEngine:
         if isinstance(self.index, MeshShardedPostingsIndex):
             self._fused_jit = make_fused_mesh_postings_jit(
                 self._model, self._banned, self.index)
+            return
+        from splade_tpu.ops.tiered_postings import TieredPostingsIndex
+
+        if isinstance(self.index, TieredPostingsIndex):
+            fused = make_fused_tiered_search_fn(
+                self._model, self._banned, top_t=self.index.query_top_t,
+                n_docs=self._postings_n, approx=self.index.approx,
+                vocab_size=self.index.vocab_size, n_candidates=C,
+                acc_dtype=self.index._acc_dtype(),
+                scoring=self.index.resolved_scoring())
+            self._fused_jit = jax.jit(fused,
+                                      static_argnums=(13 if C else 10,))
             return
         fused = make_fused_postings_search_fn(
             self._model, self._banned, top_t=self.index.query_top_t,
@@ -542,6 +591,8 @@ def build_engine_from_docs(
     rescore_candidates: Optional[int] = None,
     cluster_size: int = 64,
     n_probes: int = 32,
+    hot_terms: int = 2048,
+    hot_postings: int = 8192,
     **engine_kw,
 ) -> ServingEngine:
     """Encode (doc_id, text) pairs on device and build a served index.
@@ -549,9 +600,12 @@ def build_engine_from_docs(
     index_type: 'dense' ([N,V] matmul index — best to a few 10^5 docs),
     'postings' (impact-ordered truncated postings — million-doc corpora;
     rescore_candidates>0 adds the two-phase exact-rescoring path — use a
-    short cap like n_postings=64 with it), or 'cluster' (cluster-summary
-    union index — million-doc corpora with hot-term-concentrated vectors
-    where posting truncation collapses recall).
+    short cap like n_postings=64 with it), 'tiered' (DF-tiered postings
+    — per-term budgets via a hot-term continuation tier; the production
+    answer for hot-term corpora where uniform truncation collapses,
+    ops/tiered_postings.py), or 'cluster' (cluster-summary union index —
+    FROZEN design, kept for comparability: docs/ARCHITECTURE.md §5a
+    decision).
 
     ``n_postings``/``rescore_candidates`` are per-backend: for 'postings'
     they default to 2048/0 (single-phase deep lists); for 'cluster' they
@@ -572,6 +626,15 @@ def build_engine_from_docs(
             # the union's phase 2 always rescores exactly, so 0 here is
             # meaningless — fall back to the default pool width
             posting_candidates=rescore_candidates or 128)
+    elif index_type == "tiered":
+        from splade_tpu.ops.tiered_postings import TieredPostingsIndex
+
+        index = TieredPostingsIndex(
+            len(tokenizer),
+            n_postings=256 if n_postings is None else n_postings,
+            hot_terms=hot_terms, hot_postings=hot_postings,
+            query_top_t=engine_kw.get("query_top_k", 64) or 32,
+            rescore_candidates=rescore_candidates or 0)
     elif index_type == "postings":
         from splade_tpu.ops.postings_index import TpuPostingsIndex
 

@@ -228,11 +228,13 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--int8", action="store_true", default=True)
     p.add_argument("--no-int8", dest="int8", action="store_false")
     p.add_argument("--index", default=None,
-                   choices=["dense", "postings", "cluster"],
+                   choices=["dense", "postings", "tiered", "cluster"],
                    help="dense [N,V] matmul (<~300K docs), truncated "
-                        "postings, or cluster-summary union index "
-                        "(million-doc corpora). Default: dense, or the "
-                        "cache's own kind when an --index-cache exists")
+                        "postings, DF-tiered postings (per-term budgets "
+                        "for hot-term corpora), or cluster-summary union "
+                        "index (million-doc corpora). Default: dense, or "
+                        "the cache's own kind when an --index-cache "
+                        "exists")
     p.add_argument("--n-postings", type=int, default=None,
                    help="postings: per-term list cap (default 2048); "
                         "cluster: the union's posting_cap (default 64, "
@@ -246,6 +248,10 @@ def main(argv: Optional[list] = None) -> int:
                    help="--index cluster: docs per cluster (G)")
     p.add_argument("--probes", type=int, default=32,
                    help="--index cluster: clusters probed per query (L)")
+    p.add_argument("--hot-terms", type=int, default=2048,
+                   help="--index tiered: max hot-tier rows H")
+    p.add_argument("--hot-postings", type=int, default=8192,
+                   help="--index tiered: hot continuation depth P_hot")
     p.add_argument("--query-top-k", type=int, default=64)
     p.add_argument("--max-batch-size", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
@@ -289,8 +295,13 @@ def main(argv: Optional[list] = None) -> int:
         if args.index and args.index != cache_kind:
             p.error(f"--index {args.index} conflicts with {args.index_cache}"
                     f" (a {cache_kind!r} cache); drop --index or rebuild")
-        cls = (TpuClusterIndex if cache_kind == "cluster"
-               else TpuPostingsIndex)
+        if cache_kind == "cluster":
+            cls = TpuClusterIndex
+        elif cache_kind == "tiered":
+            from splade_tpu.ops.tiered_postings import TieredPostingsIndex
+            cls = TieredPostingsIndex
+        else:
+            cls = TpuPostingsIndex
         logger.info("loading persisted %s index %s ...",
                     cache_kind, args.index_cache)
         index = cls.load(args.index_cache)
@@ -316,7 +327,8 @@ def main(argv: Optional[list] = None) -> int:
             enc.model, enc.params, tokenizer, docs, int8=args.int8,
             query_top_k=args.query_top_k, index_type=index_kind,
             n_postings=args.n_postings, rescore_candidates=args.rescore,
-            cluster_size=args.cluster_size, n_probes=args.probes)
+            cluster_size=args.cluster_size, n_probes=args.probes,
+            hot_terms=args.hot_terms, hot_postings=args.hot_postings)
         if args.index_cache:
             if hasattr(engine.index, "save"):
                 engine.index.save(args.index_cache)

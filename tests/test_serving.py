@@ -115,6 +115,49 @@ def test_postings_backed_engine_matches_dense(engine):
                                    rtol=5e-2)
 
 
+def test_tiered_backed_engine_matches_dense(engine):
+    """The DF-tiered backend serves through its own fused path (7-array
+    phase-1 structure) and matches the dense engine on the same corpus;
+    exercises two-phase + delta CRUD on the tiered engine."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    docs = [(f"doc{i}", f"문서 {i} 텍스트 {'가나다라마바사'[i % 7]}")
+            for i in range(40)]
+    from splade_tpu.benchmark.encoders import SparseEncoderV33
+    from splade_tpu.ops.tiered_postings import TieredPostingsIndex
+    from splade_tpu.serving.engine import ServingEngine
+
+    enc = SparseEncoderV33(model, params, tok)
+    # hot_terms=VOCAB: every overflowing term gets a hot slot, so the
+    # combined depth 4+64 covers each 40-doc list (truncation 0)
+    index = TieredPostingsIndex(VOCAB, n_postings=4, hot_terms=VOCAB,
+                                hot_postings=64, query_top_t=16,
+                                rescore_candidates=40, approx=False,
+                                scoring="sort")
+    index.add_batch([d for d, _ in docs],
+                    enc.encode_documents([t for _, t in docs]))
+    index.build()
+    t_engine = ServingEngine(model, params, tok, index,
+                             query_top_k=16, query_max_length=16)
+    assert t_engine._postings and t_engine._postings_two_phase
+    assert index.truncated_postings == 0  # 4+64 covers every 40-doc list
+    queries = ["가나다 검색", "문서 7"]
+    dense = engine.search_batch(queries, k=5)
+    tiered = t_engine.search_batch(queries, k=5)
+    for d, p in zip(dense, tiered):
+        assert [x for x, _ in d] == [x for x, _ in p]
+        np.testing.assert_allclose([s for _, s in d], [s for _, s in p],
+                                   rtol=5e-2)
+    # live CRUD through the engine: delta add served without rebuild
+    vec_idx, vec_val = enc.encode_documents(["문서 7 텍스트 가나다라"])[0]
+    index.add("fresh_doc", vec_idx, vec_val)
+    got = t_engine.search_batch(["문서 7"], k=10)[0]
+    assert "fresh_doc" in {d for d, _ in got}
+
+
 def test_engine_warmup_covers_serving_shapes(engine):
     shapes = engine.warmup(max_batch_size=32)
     assert shapes == 3 * len(engine.k_tiers)  # buckets 8,16,32 x k tiers
