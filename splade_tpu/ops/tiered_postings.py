@@ -166,6 +166,49 @@ def tiered_two_phase_topk(cold_docs, cold_w, cold_scale, hot_slot,
     return vals, jnp.take_along_axis(cand, pos, axis=1)
 
 
+def make_mesh_tiered_search_fns(n_shards: int, shard_size: int,
+                                n_docs: int, vocab_size: int,
+                                n_candidates: int, approx: bool,
+                                acc_dtype, scoring: str):
+    """Search bodies for doc-sharded TIERED postings under GSPMD: vmap
+    the 7-array per-shard tiered kernel over the leading shard axis,
+    merge the [D, B, k] partials (the only cross-device traffic). Same
+    contract as ``make_mesh_postings_search_fns``."""
+    import jax
+
+    from splade_tpu.ops.postings_index import merge_sharded_topk
+
+    D, per, n, V, C = n_shards, shard_size, n_docs, vocab_size, n_candidates
+
+    def search(cd, cw, cs, hs, hd, hw, hsc, q_idx, q_val, k):
+        k_local = min(k, per)
+
+        def shard_search(cd_, cw_, cs_, hs_, hd_, hw_, hsc_):
+            return tiered_score_topk(cd_, cw_, cs_, hs_, hd_, hw_, hsc_,
+                                     q_idx, q_val, k_local, per, approx,
+                                     acc_dtype=acc_dtype, scoring=scoring)
+
+        vals, idxs = jax.vmap(shard_search)(cd, cw, cs, hs, hd, hw, hsc)
+        return merge_sharded_topk(vals, idxs, k, per, n)
+
+    def search_two_phase(cd, cw, cs, hs, hd, hw, hsc, dt, dv, dsc,
+                         q_idx, q_val, k):
+        k_local = min(k, per, C)
+
+        def shard_search(cd_, cw_, cs_, hs_, hd_, hw_, hsc_, dt_, dv_,
+                         dsc_):
+            return tiered_two_phase_topk(
+                cd_, cw_, cs_, hs_, hd_, hw_, hsc_, dt_, dv_, dsc_,
+                q_idx, q_val, k_local, per, V, C, approx,
+                phase1_dtype=acc_dtype, scoring=scoring, vmapped=True)
+
+        vals, idxs = jax.vmap(shard_search)(cd, cw, cs, hs, hd, hw, hsc,
+                                            dt, dv, dsc)
+        return merge_sharded_topk(vals, idxs, k, per, n)
+
+    return search, search_two_phase
+
+
 class TieredPostingsIndex(TpuPostingsIndex):
     """Two-tier DF-budgeted postings index (see module docstring).
 
@@ -293,3 +336,158 @@ class TieredPostingsIndex(TpuPostingsIndex):
         return vocab, dict(n_postings=P, query_top_t=top_t,
                            rescore_candidates=C, hot_terms=H,
                            hot_postings=Ph)
+
+
+class MeshShardedTieredPostingsIndex(TieredPostingsIndex):
+    """Doc-sharded DF-tiered postings over a device mesh: each shard
+    builds its OWN tiers (hot-term selection adapts to the shard's df
+    distribution), searches locally, and only the [D, B, k] partial
+    top-k merge crosses devices — the 10M-doc design point where both
+    capacity (linear in devices) and hot-term depth matter.
+
+    Hot rows are padded to exactly ``hot_terms`` per shard so the
+    stacked [D, H+1, Ph] arrays are rectangular (the +1 is the all-zero
+    pad row cold terms route to)."""
+
+    def __init__(self, vocab_size: int, mesh, n_postings: int = 256,
+                 hot_terms: int = 2048, hot_postings: int = 8192,
+                 query_top_t: int = 32, batch_pad: int = 8,
+                 approx: bool = True, rescore_candidates: int = 0,
+                 phase1_acc: str = "auto", scoring: str = "auto"):
+        super().__init__(vocab_size, n_postings=n_postings,
+                         hot_terms=hot_terms, hot_postings=hot_postings,
+                         query_top_t=query_top_t, batch_pad=batch_pad,
+                         approx=approx,
+                         rescore_candidates=rescore_candidates,
+                         phase1_acc=phase1_acc, scoring=scoring)
+        self.mesh = mesh
+        self.n_shards = int(mesh.devices.size)
+
+    def max_results(self) -> int:
+        n = len(self.doc_ids)
+        if not self.rescore_candidates:
+            return n
+        return min(n, self.n_shards *
+                   min(self.rescore_candidates, self._shard_size))
+
+    def jit_shardings(self, two_phase: bool):
+        """NamedShardings of (*_built, *_doc_major?) in search-arg order
+        — 7 phase-1 arrays + optionally 3 doc-major arrays, all sharded
+        on the leading (shard) axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        rep = NamedSharding(self.mesh, P())
+        sh3 = NamedSharding(self.mesh, P(axis, None, None))
+        sh2 = NamedSharding(self.mesh, P(axis, None))
+        arrs = (sh3, sh3, sh2, sh2, sh3, sh3, sh2)
+        if two_phase:
+            arrs = arrs + (sh3, sh3, sh2)
+        return arrs, rep
+
+    def build(self) -> None:
+        import jax
+
+        n = len(self.doc_ids)
+        if n == 0:
+            raise ValueError("empty index")
+        D = self.n_shards
+        per = -(-n // D)
+        self._shard_size = per
+        Hmax, Ph = self.hot_terms, self.hot_postings
+        stacks = {k: [] for k in ("cd", "cw", "cs", "hs", "hd", "hw",
+                                  "hsc")}
+        self.truncated_postings = 0
+        n_hot_total = 0
+        for d in range(D):
+            lo, hi = d * per, min((d + 1) * per, n)
+            if lo >= hi:  # empty tail shard
+                cold_docs = np.zeros((self.vocab_size, self.n_postings),
+                                     np.int32)
+                cold_w = np.zeros_like(cold_docs, np.float32)
+                hot_slot = np.full(self.vocab_size, Hmax, np.int32)
+                hot_docs = np.zeros((0, Ph), np.int32)
+                hot_w = np.zeros((0, Ph), np.float32)
+                trunc = 0
+            else:
+                (cold_docs, cold_w, hot_slot, hot_docs, hot_w,
+                 trunc) = build_tiered(
+                    self._doc_idx[lo:hi], self._doc_val[lo:hi],
+                    self.vocab_size, self.n_postings, Hmax, Ph)
+            H = hot_docs.shape[0]
+            n_hot_total += H
+            self.truncated_postings += trunc
+            # pad hot rows to exactly Hmax (+1 pad row) and repoint the
+            # cold-term pad slot H -> Hmax so shards stack rectangular
+            hot_slot = np.where(hot_slot == H, Hmax, hot_slot)
+            pad_rows = Hmax + 1 - H
+            hot_docs = np.vstack([hot_docs,
+                                  np.zeros((pad_rows, Ph), np.int32)])
+            hot_w = np.vstack([hot_w,
+                               np.zeros((pad_rows, Ph), np.float32)])
+            cold_q, cold_scale = quantize_postings(cold_w)
+            hot_q, hot_scale = quantize_postings(hot_w)
+            for k, v in (("cd", cold_docs), ("cw", cold_q),
+                         ("cs", cold_scale), ("hs", hot_slot),
+                         ("hd", hot_docs), ("hw", hot_q),
+                         ("hsc", hot_scale)):
+                stacks[k].append(v)
+        self.n_hot = n_hot_total
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        sh3 = NamedSharding(self.mesh, P(axis, None, None))
+        sh2 = NamedSharding(self.mesh, P(axis, None))
+        sh = {"cd": sh3, "cw": sh3, "cs": sh2, "hs": sh2, "hd": sh3,
+              "hw": sh3, "hsc": sh2}
+        self._built = tuple(
+            jax.device_put(np.stack(stacks[k]), sh[k])
+            for k in ("cd", "cw", "cs", "hs", "hd", "hw", "hsc"))
+        self._base_n = n
+        if self.rescore_candidates:
+            M = max((len(x) for x in self._doc_idx), default=1)
+            t_stack, v_stack, s_stack = [], [], []
+            for d in range(D):
+                lo, hi = d * per, min((d + 1) * per, n)
+                t, v, s = self._doc_major_arrays(
+                    self._doc_idx[lo:hi], self._doc_val[lo:hi], per, M=M)
+                t_stack.append(t)
+                v_stack.append(v)
+                s_stack.append(s)
+            self._doc_major = (
+                jax.device_put(np.stack(t_stack), sh3),
+                jax.device_put(np.stack(v_stack), sh3),
+                jax.device_put(np.stack(s_stack), sh2),
+            )
+        self._delta_cache = None
+        self._make_search()
+        logger.info(
+            "mesh tiered index: %d docs over %d shards (%d/shard), cold "
+            "P=%d + hot %dx%d/shard, %.0f MB total",
+            n, D, per, self.n_postings, Hmax, Ph,
+            self.memory_bytes() / 1e6)
+
+    def _make_search(self) -> None:
+        import jax
+
+        per = self._shard_size
+        C = (min(self.rescore_candidates, per)
+             if self.rescore_candidates else 0)
+        search, search_two_phase = make_mesh_tiered_search_fns(
+            n_shards=self.n_shards, shard_size=per,
+            n_docs=len(self.doc_ids), vocab_size=self.vocab_size,
+            n_candidates=C, approx=self.approx,
+            acc_dtype=self._acc_dtype(), scoring=self.resolved_scoring())
+        arrs, rep = self.jit_shardings(two_phase=bool(C))
+        if C:
+            jitted2 = jax.jit(
+                search_two_phase, static_argnums=12,
+                in_shardings=arrs + (rep, rep), out_shardings=(rep, rep))
+            self._search_jit = lambda qi, qv, k: jitted2(
+                *self._built, *self._doc_major, qi, qv, k)
+        else:
+            jitted = jax.jit(
+                search, static_argnums=9,
+                in_shardings=arrs + (rep, rep), out_shardings=(rep, rep))
+            self._search_jit = lambda qi, qv, k: jitted(*self._built,
+                                                        qi, qv, k)

@@ -120,6 +120,44 @@ def make_fused_postings_search_fn(model, banned, top_t: int, n_docs: int,
     return fused
 
 
+def make_fused_mesh_tiered_jit(model, banned, index):
+    """Fused encode→search over a MeshShardedTieredPostingsIndex:
+    replicated query encode, per-shard tiered phase-1 (+ exact local
+    rescore), one [D, B, k] merge — the mesh-postings contract with the
+    7-array tiered structure."""
+    import jax
+
+    from splade_tpu.ops.tiered_postings import make_mesh_tiered_search_fns
+
+    per = index._shard_size
+    C = min(index.rescore_candidates, per) if index.rescore_candidates else 0
+    search, search_two_phase = make_mesh_tiered_search_fns(
+        n_shards=index.n_shards, shard_size=per, n_docs=len(index),
+        vocab_size=index.vocab_size, n_candidates=C, approx=index.approx,
+        acc_dtype=index._acc_dtype(), scoring=index.resolved_scoring())
+    encode_query = _make_encode_query(model, banned, index.query_top_t)
+    arrs, rep = index.jit_shardings(two_phase=bool(C))
+
+    if C:
+        def fused2(p, cd, cw, cs, hs, hd, hw, hsc, dt, dv, dsc,
+                   ids, mask, k):
+            q_val, q_idx = encode_query(p, ids, mask)
+            return search_two_phase(cd, cw, cs, hs, hd, hw, hsc, dt, dv,
+                                    dsc, q_idx, q_val, k)
+
+        return jax.jit(fused2, static_argnums=(13,),
+                       in_shardings=(rep,) + arrs + (rep, rep),
+                       out_shardings=(rep, rep))
+
+    def fused(p, cd, cw, cs, hs, hd, hw, hsc, ids, mask, k):
+        q_val, q_idx = encode_query(p, ids, mask)
+        return search(cd, cw, cs, hs, hd, hw, hsc, q_idx, q_val, k)
+
+    return jax.jit(fused, static_argnums=(10,),
+                   in_shardings=(rep,) + arrs + (rep, rep),
+                   out_shardings=(rep, rep))
+
+
 def make_fused_tiered_search_fn(model, banned, top_t: int, n_docs: int,
                                 approx: bool, vocab_size: int,
                                 n_candidates: int, acc_dtype,
@@ -351,8 +389,13 @@ class ServingEngine:
             self._fused_jit = make_fused_mesh_postings_jit(
                 self._model, self._banned, self.index)
             return
-        from splade_tpu.ops.tiered_postings import TieredPostingsIndex
+        from splade_tpu.ops.tiered_postings import (
+            MeshShardedTieredPostingsIndex, TieredPostingsIndex)
 
+        if isinstance(self.index, MeshShardedTieredPostingsIndex):
+            self._fused_jit = make_fused_mesh_tiered_jit(
+                self._model, self._banned, self.index)
+            return
         if isinstance(self.index, TieredPostingsIndex):
             fused = make_fused_tiered_search_fn(
                 self._model, self._banned, top_t=self.index.query_top_t,

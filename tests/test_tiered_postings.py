@@ -198,6 +198,51 @@ def test_no_hot_terms_degenerates_to_uniform():
             == uniform.search_topk(qi, qv, k=5))
 
 
+def test_mesh_tiered_matches_single_on_virtual_mesh():
+    """8-shard mesh tiered index vs the single-device tiered index on
+    the hot corpus: per-shard hot selection + lossless combined depth ->
+    both match the exact oracle's ranking (two-phase final scores are
+    exact up to int8)."""
+    from splade_tpu.ops.tiered_postings import (
+        MeshShardedTieredPostingsIndex)
+    from splade_tpu.parallel.mesh import make_mesh
+
+    corpus = hot_corpus(n=330)  # ragged: 330 = 8*41 + 2 (tail shard)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    single = TieredPostingsIndex(V, n_postings=8, hot_terms=64,
+                                 hot_postings=512, query_top_t=8,
+                                 rescore_candidates=64, approx=False,
+                                 scoring="sort")
+    sharded = MeshShardedTieredPostingsIndex(
+        V, mesh, n_postings=8, hot_terms=64, hot_postings=512,
+        query_top_t=8, rescore_candidates=64, approx=False,
+        scoring="sort")
+    exact = ExactSparseIndex(vocab_size=V)
+    for i, (idx, val) in enumerate(corpus):
+        single.add(f"d{i}", idx, val)
+        sharded.add(f"d{i}", idx, val)
+        exact.add(f"d{i}", idx, val)
+    single.build()
+    sharded.build()
+    # per-shard truncation can only be <= the single index's
+    assert sharded.truncated_postings <= single.truncated_postings
+    rng = np.random.default_rng(5)
+    qi = np.stack([np.concatenate([
+        rng.choice([3, 5, 7], size=1),
+        rng.choice(np.arange(50, V), size=3, replace=False)])
+        for _ in range(8)]).astype(np.int32)
+    qv = (np.abs(rng.normal(size=(8, 4))) + 0.1).astype(np.float32)
+    got_s = single.search_topk(qi, qv, k=5)
+    got_m = sharded.search_topk(qi, qv, k=5)
+    for b, (s_res, m_res) in enumerate(zip(got_s, got_m)):
+        ref = dict(exact.search_vector(qi[b], qv[b], k=len(corpus)))
+        assert s_res[0][0] == m_res[0][0]
+        for doc, score in m_res:
+            assert score == pytest.approx(ref[doc], rel=0.05, abs=0.02)
+        assert len({d for d, _ in s_res} & {d for d, _ in m_res}) >= 4
+
+
 def test_delta_adds_after_build():
     corpus = hot_corpus(n=100)
     _, tiered = build_pair(corpus, p_cold=8, hot_terms=8, p_hot=256,
