@@ -91,7 +91,11 @@ def main() -> int:
     p.add_argument("--n-postings", default="128",
                    help="comma-separated P values — the encode pass is "
                         "shared, each P gets its own index build + entry")
-    p.add_argument("--rescore", type=int, default=200)
+    p.add_argument("--rescore", default="200",
+                   help="two-phase candidate pool C; comma-separated "
+                        "values sweep C in ONE process (the per-process "
+                        "jit-compile overhead through the tunnel is "
+                        "~15 min — amortize it)")
     p.add_argument("--cluster-size", type=int, default=64)
     p.add_argument("--probes", default="32",
                    help="comma-separated probe counts (cluster index)")
@@ -365,12 +369,18 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
     from splade_tpu.ops.postings_index import TpuPostingsIndex
 
     out = Path(args.out)
+    c_sweep = [int(x) for x in str(args.rescore).split(",")]
+    args.rescore = c_sweep[0]
     if args.index in ("cluster", "mesh_cluster"):
-        sweep = [int(x) for x in str(args.probes).split(",")]
+        sweep = [(p_, c_sweep[0])
+                 for p_ in (int(x) for x in str(args.probes).split(","))]
     else:
-        sweep = [int(x) for x in str(args.n_postings).split(",")]
+        sweep = [(p_, c_)
+                 for p_ in (int(x) for x in str(args.n_postings).split(","))
+                 for c_ in c_sweep]
     index = None
-    for P in sweep:
+    for P, C_this in sweep:
+        args.rescore = C_this
         t0 = time.time()
         if args.index == "mesh_cluster":
             from splade_tpu.ops.cluster_index import MeshShardedClusterIndex
@@ -522,7 +532,7 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
                     "n_hot": index.n_hot,
                     "memory_mb": round(index.memory_bytes() / 1e6),
                 })
-            key_sfx = f"p{P}"
+            key_sfx = f"p{P}" + (f"_c{C_this}" if len(c_sweep) > 1 else "")
         key = args.key if len(sweep) == 1 else f"{args.key}_{key_sfx}"
         # refuses same-key writes with different settings (the round-4f
         # collision that destroyed the P=256 select row — VERDICT r4 #1c)

@@ -87,13 +87,13 @@ stage_csweep() {
   cache_ok "$ENC" || { log "csweep: no encode cache"; return 1; }
   log "stage csweep"
   local ok=1
-  for C in 2000 4000 8000; do
-    timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
-      --queries "$QUERIES" --n-postings 512 --rescore "$C" \
-      --posting-scoring select --search-batch 256 \
-      --key "r5_select_p512_c$C" >/tmp/r5_csel_$C.log 2>&1 || ok=0
-    tail -2 /tmp/r5_csel_$C.log >>"$LOG"
-  done
+  # one process sweeps all three C values (the ~15-min per-process
+  # compile overhead through the tunnel is paid once, not 3x)
+  timeout 5400 python "$R" --index postings --enc-cache "$ENC" \
+    --queries "$QUERIES" --n-postings 512 --rescore 2000,4000,8000 \
+    --posting-scoring select --search-batch 256 \
+    --key r5_select >/tmp/r5_csel.log 2>&1 || ok=0
+  tail -6 /tmp/r5_csel.log >>"$LOG"
   # sort control at C=2000 for the pareto (same chunking)
   timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
     --queries "$QUERIES" --n-postings 512 --rescore 2000 \

@@ -284,7 +284,8 @@ def main(argv: Optional[list] = None) -> int:
 
         if index_kind == "dense":
             p.error("--index dense cannot load a persisted --index-cache; "
-                    "remove the cache file or use --index postings/cluster")
+                    "remove the cache file or use --index "
+                    "postings/tiered/cluster")
         # the archive knows its own kind — dispatch on it so a cluster
         # cache is served by the cluster class (and a mismatching
         # explicit --index errors clearly instead of unpack-crashing)
