@@ -62,7 +62,7 @@ stage_ab_sort() {
   log "stage ab_sort"
   timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
     --queries "$QUERIES" --n-postings 256,512 --rescore 1000 \
-    --posting-scoring sort --key r5_ab_sort \
+    --posting-scoring sort --search-batch 256 --key r5_ab_sort \
     >/tmp/r5_ab_sort.log 2>&1 && mark ab_sort
   tail -4 /tmp/r5_ab_sort.log >>"$LOG"
   commit_rows "Same-checkpoint sort control for the round-4f select A/B (r5_ab_sort_p256/p512)"
@@ -74,7 +74,7 @@ stage_ab_select() {
   log "stage ab_select"
   timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
     --queries "$QUERIES" --n-postings 256,512 --rescore 1000 \
-    --posting-scoring select --key r5_ab_select \
+    --posting-scoring select --search-batch 256 --key r5_ab_select \
     >/tmp/r5_ab_select.log 2>&1 && mark ab_select
   tail -4 /tmp/r5_ab_select.log >>"$LOG"
   commit_rows "Select re-run with unique keys (r5_ab_select_p256/p512), same encode as the sort control"
@@ -113,7 +113,7 @@ stage_selsum() {
   log "stage selsum"
   timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
     --queries "$QUERIES" --n-postings 256,512 --rescore 1000 \
-    --posting-scoring select_sum --key r5_selsum \
+    --posting-scoring select_sum --search-batch 256 --key r5_selsum \
     >/tmp/r5_selsum.log 2>&1 && mark selsum
   tail -4 /tmp/r5_selsum.log >>"$LOG"
   commit_rows "select_sum phase-1 on the zipf cache (partial-sum selection, P=256/512)"
@@ -146,7 +146,7 @@ stage_topenc() {
     log "stage topenc (encode ~30 min)"
     timeout 5400 python "$R" --index postings --corpus topical \
       --checkpoint "$CKPT" --enc-cache "$ENCT" --queries "$QUERIES" \
-      --n-postings 512 --rescore 1000 --posting-scoring sort \
+      --n-postings 512 --rescore 1000 --posting-scoring sort --search-batch 256 \
       --key r5_topical_sort_p512 >/tmp/r5_topenc.log 2>&1
     tail -4 /tmp/r5_topenc.log >>"$LOG"
   fi
