@@ -161,10 +161,14 @@ stage_topsweep() {
   cache_ok "$ENCT" || { log "topsweep: no topical cache"; return 1; }
   log "stage topsweep"
   local ok=1
-  timeout 3600 python "$R" --index postings --enc-cache "$ENCT" \
+  # scatter phase-1: recall-identical to sort, but the compile is a
+  # simple [B,N] scatter-add — the E=33K-135K bitonic-sort programs at
+  # deep P take 20+ min EACH to compile through the tunnel (measured on
+  # the P=512/E=16.9K control this round)
+  timeout 5400 python "$R" --index postings --enc-cache "$ENCT" \
     --queries "$QUERIES" --n-postings 1024,2048,4096 --rescore 1000 \
-    --posting-scoring sort --search-batch 256 \
-    --key r5_topical_sort >/tmp/r5_topsweep.log 2>&1 || ok=0
+    --posting-scoring scatter --search-batch 256 \
+    --key r5_topical_scatter >/tmp/r5_topsweep.log 2>&1 || ok=0
   tail -6 /tmp/r5_topsweep.log >>"$LOG"
   timeout 3600 python "$R" --index postings --enc-cache "$ENCT" \
     --queries "$QUERIES" --n-postings 2048 --rescore 4000 \
