@@ -74,7 +74,7 @@ def main() -> int:
     p.add_argument("--query-len", type=int, default=64)
     p.add_argument("--index", default="postings",
                    choices=["postings", "tiered", "cluster", "mesh_cluster",
-                            "mesh_postings"],
+                            "mesh_postings", "mesh_tiered"],
                    help="candidate generator: truncated postings two-phase, "
                         "DF-tiered postings (per-term budgets via a hot-"
                         "term continuation tier — the hot-term-regime "
@@ -441,6 +441,20 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
                 rescore_candidates=args.rescore,
                 scoring=args.posting_scoring)
             ran_build = True
+        elif args.index == "mesh_tiered":
+            # doc-sharded DF-tiered postings: per-shard adaptive hot
+            # selection — the proposed 10M-doc production design
+            from splade_tpu.ops.tiered_postings import (
+                MeshShardedTieredPostingsIndex)
+            from splade_tpu.parallel.mesh import make_mesh
+
+            index = MeshShardedTieredPostingsIndex(
+                V, make_mesh(), n_postings=P, hot_terms=args.hot_terms,
+                hot_postings=args.hot_postings,
+                query_top_t=args.query_top_k,
+                rescore_candidates=args.rescore,
+                scoring=args.posting_scoring)
+            ran_build = True
         else:
             # scoring default "auto": sort in the small-pool regime and,
             # on TPU, select (sort-free entry top-k) once measured faster
@@ -522,10 +536,10 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
                 "truncated_pct": round(100.0 * index.truncated_postings
                                        / max(index.nnz, 1), 2),
             })
-            if args.index == "mesh_postings":
+            if args.index in ("mesh_postings", "mesh_tiered"):
                 entry["shards"] = index.n_shards
                 entry["memory_mb"] = round(index.memory_bytes() / 1e6)
-            if args.index == "tiered":
+            if args.index in ("tiered", "mesh_tiered"):
                 entry.update({
                     "hot_terms": args.hot_terms,
                     "hot_postings": args.hot_postings,
