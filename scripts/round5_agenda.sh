@@ -46,6 +46,17 @@ commit_rows() { # commit_rows <message>
 }
 log start
 
+# trainer-release gate (second machine reset wiped artifacts/lrun4; the
+# regeneration run holds the single-tenant chip — probing JAX while it
+# trains would contend for the device grant): wait on its pid first
+while kill -0 "$(cat /tmp/lrun4.pid 2>/dev/null)" 2>/dev/null; do
+  sleep 60
+done
+if [ ! -d "$CKPT" ]; then
+  log "trainer gone but no checkpoint at $CKPT; exiting for supervisor retry"
+  exit 8
+fi
+
 # chip liveness gate: a dead relay means every stage would hang — probe
 # once; the supervisor relaunches us, so exiting is the retry loop
 if ! timeout 420 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
@@ -53,6 +64,24 @@ if ! timeout 420 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
   exit 7
 fi
 log "chip up"
+
+# -- stage encode: the reset also wiped the 1M zipf encode cache; rebuild
+#    it from the regenerated checkpoint. The csweep sort control that
+#    never landed (r4f/r5 timeouts) rides the encode pass so it isn't
+#    wasted if the relay dies after.
+stage_encode() {
+  done_ encode && return 0
+  cache_ok "$ENC" && { mark encode; return 0; }
+  rm -f "$ENC"
+  log "stage encode (~30 min) + sort C=2000 control"
+  timeout 5400 python "$R" --index postings --checkpoint "$CKPT" \
+    --enc-cache "$ENC" --queries "$QUERIES" --n-postings 512 --rescore 2000 \
+    --posting-scoring sort --search-batch 256 --key r5_sort_p512_c2000 \
+    >/tmp/r5_encode.log 2>&1
+  cache_ok "$ENC" && mark encode
+  tail -4 /tmp/r5_encode.log >>"$LOG"
+  commit_rows "Sort C=2000 control at P=512 (rides the regenerated 1M encode)"
+}
 
 # -- stage ab_sort: the same-checkpoint sort control (r4f's sort stage
 #    timed out; these rows pair with r5_ab_select_* on the SAME encode)
@@ -238,6 +267,7 @@ stage_bench() {
   cat /tmp/r5_bench.json >>"$LOG" 2>/dev/null
 }
 
+stage_encode
 stage_ab_sort
 stage_ab_select
 stage_csweep
