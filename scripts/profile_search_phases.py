@@ -65,6 +65,12 @@ def main() -> int:
     p.add_argument("--out", default="docs/STEP_BREAKDOWN.json")
     p.add_argument("--tiny", action="store_true",
                    help="synthetic micro shapes (CI smoke, no cache needed)")
+    p.add_argument("--scoring", default="auto",
+                   help="phase-1 scoring (auto|scatter|sort|select|"
+                        "select_sum) — 'auto' resolves by device/shape")
+    p.add_argument("--key-suffix", default="",
+                   help="appended to the STEP_BREAKDOWN.json key so "
+                        "profiles of different scorings don't collide")
     args = p.parse_args()
 
     import jax
@@ -95,7 +101,8 @@ def main() -> int:
           f"C={args.rescore}", flush=True)
 
     idx = TpuPostingsIndex(V, n_postings=args.n_postings, query_top_t=T,
-                           rescore_candidates=args.rescore, scoring="auto")
+                           rescore_candidates=args.rescore,
+                           scoring=args.scoring)
     t0 = time.time()
     idx.add_csr(
         [str(i) for i in range(N)], d_idx, d_val)
@@ -182,6 +189,8 @@ def main() -> int:
     key = f"search_phase_profile_{'tpu' if 'TPU' in dev or 'tpu' in dev else 'cpu'}"
     if args.tiny:
         key += "_tiny"
+    if args.key_suffix:
+        key += f"_{args.key_suffix}"
     data[key] = entry
     out.write_text(json.dumps(data, indent=1))
     print(f"wrote {out} [{key}]", flush=True)

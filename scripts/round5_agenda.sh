@@ -229,6 +229,43 @@ stage_toptiered() {
   commit_rows "Tiered postings in the topical hot-term regime (H=4K/8K, P_hot=8K/16K)"
 }
 
+# -- stage headline: the north-star capstone at B=1024 in ONE program
+#    (the r5 sweep rows ran --search-batch 256 to bound tunnel compiles;
+#    the r4f single-program select measured ~2x the chunked QPS, so the
+#    pareto's frontier points deserve their unchunked numbers)
+stage_headline() {
+  done_ headline && return 0
+  cache_ok "$ENC" || { log "headline: no encode cache"; return 1; }
+  log "stage headline"
+  local ok=1
+  timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
+    --queries "$QUERIES" --n-postings 512 --rescore 2000 \
+    --posting-scoring select \
+    --key r5_headline_select_p512_c2000 >/tmp/r5_headline1.log 2>&1 || ok=0
+  tail -2 /tmp/r5_headline1.log >>"$LOG"
+  timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
+    --queries "$QUERIES" --n-postings 512 --rescore 2000 \
+    --posting-scoring select_sum \
+    --key r5_headline_selsum_p512_c2000 >/tmp/r5_headline2.log 2>&1 || ok=0
+  tail -2 /tmp/r5_headline2.log >>"$LOG"
+  [ "$ok" = 1 ] && mark headline
+  commit_rows "B=1024 single-program headline rows: select and select_sum at P=512/C=2000"
+}
+
+# -- stage profile: phase decomposition at the frontier operating point
+#    (VERDICT r4 #4 'Done' criterion: pareto WITH the phase breakdown)
+stage_profile() {
+  done_ profile && return 0
+  cache_ok "$ENC" || { log "profile: no encode cache"; return 1; }
+  log "stage profile"
+  timeout 3600 python scripts/profile_search_phases.py --enc-cache "$ENC" \
+    --n-postings 512 --rescore 2000 --scoring select \
+    --key-suffix select_c2000 >/tmp/r5_profile.log 2>&1 && mark profile
+  tail -6 /tmp/r5_profile.log >>"$LOG"
+  git add docs/STEP_BREAKDOWN.json 2>/dev/null || true
+  git diff --cached --quiet || git commit -q -m "Phase decomposition at the select P=512/C=2000 frontier point" || true
+}
+
 # -- stage serving: daemon load test at the round-4 operating point
 #    (VERDICT r4 #6: the 3,777 QPS needs a server-level counterpart)
 stage_serving() {
@@ -276,6 +313,8 @@ stage_zipf_tiered
 stage_topenc
 stage_topsweep
 stage_toptiered
+stage_headline
+stage_profile
 stage_serving
 stage_bench
 log "all stages attempted"
