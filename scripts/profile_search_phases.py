@@ -130,7 +130,7 @@ def main() -> int:
     # ---- phase 2 alone, each implementation, on phase 1's candidates
     cand = jax.block_until_ready(cand)
     res = {}
-    for mode in ("gather", "match", "match_xla"):
+    for mode in ("gather", "match", "match_rows", "match_xla"):
         f = jax.jit(lambda dt, dv, ds, a, b, c, m=mode: dispatch_rescore(
             dt, dv, ds, a, b, c, V, mode=m))
         try:

@@ -349,6 +349,8 @@ def resolve_rescore_mode(mode: str = "auto", vmapped: bool = False) -> str:
     candidate-rescores/s at 1M docs, docs/PHASE0_COST_MODEL.md).
     "match": the gather-free Pallas equality-match kernel
     (ops/rescore_kernel.py) — the TPU path.
+    "match_rows": the match kernel without the [B,C,M]->[B,M,C]
+    transpose (candidates on sublanes) — round-5 candidate TPU path.
     "match_xla": the same formulation in plain XLA — used under vmap
     (mesh shard loops), where pallas_call batching is not guaranteed.
     Env SPLADE_RESCORE overrides everything (benchmark A/B switch)."""
@@ -357,7 +359,7 @@ def resolve_rescore_mode(mode: str = "auto", vmapped: bool = False) -> str:
     import jax
 
     env = os.environ.get("SPLADE_RESCORE", "").lower()
-    if env in ("gather", "match", "match_xla"):
+    if env in ("gather", "match", "match_rows", "match_xla"):
         mode = env
     if mode != "auto":
         return mode
@@ -377,10 +379,15 @@ def dispatch_rescore(d_terms, d_vals, d_scale, q_idx, q_val, cand,
         if qd is None:
             qd = sparse_query_dense(q_idx, q_val, vocab_size)
         return exact_rescore(d_terms, d_vals, d_scale, qd, cand)
-    from splade_tpu.ops.rescore_kernel import rescore_match, rescore_match_xla
+    from splade_tpu.ops.rescore_kernel import (rescore_match,
+                                               rescore_match_rows,
+                                               rescore_match_xla)
 
     if mode == "match":
         return rescore_match(d_terms, d_vals, d_scale, q_idx, q_val, cand)
+    if mode == "match_rows":
+        return rescore_match_rows(d_terms, d_vals, d_scale, q_idx, q_val,
+                                  cand)
     return rescore_match_xla(d_terms, d_vals, d_scale, q_idx, q_val, cand)
 
 

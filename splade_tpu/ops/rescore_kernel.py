@@ -124,6 +124,77 @@ def rescore_match(d_terms, d_vals, d_scale, q_idx, q_val, cand,
     return out[:B, :C]
 
 
+def _rescore_kernel_rows(qi_ref, qv_ref, terms_ref, w_ref, out_ref):
+    # terms_ref/w_ref [RB, BC, M]; qi_ref/qv_ref [RB, T]; out_ref [RB, BC]
+    terms = terms_ref[:]
+    w = w_ref[:].astype(jnp.float32)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    T = qi_ref.shape[1]
+    for t in range(T):  # T static: unrolled
+        ti = qi_ref[:, t : t + 1]                         # [RB, 1]
+        tv = qv_ref[:, t : t + 1]                         # [RB, 1]
+        hit = jnp.where(terms == ti[:, :, None], w, 0.0)  # [RB, BC, M]
+        acc = acc + tv * jnp.sum(hit, axis=2)             # [RB, BC]
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rescore_match_rows(d_terms, d_vals, d_scale, q_idx, q_val, cand,
+                       interpret: bool | None = None):
+    """``rescore_match`` without the [B,C,M]→[B,M,C] transpose.
+
+    The round-5 finite-difference decomposition (docs/PHASE0_COST_MODEL.md)
+    put the measured rescore slope ~10–30× above the match kernel's
+    streaming bound; the prime suspect is the materialized `swapaxes`
+    layout change (~2×1 GB per batch at C=2000) that `rescore_match` pays
+    to place candidates on the lane axis. This variant keeps the candidate
+    gather's natural [B, C, M] layout — candidates on sublanes, the
+    M-element CSR rows on lanes (M=64 wastes half the 128-lane width, but
+    a half-empty lane beats a full transpose pass). Bit-identical output
+    (tests/test_rescore_kernel.py)."""
+    if interpret is None:
+        interpret = _interpret()
+    B, C = cand.shape
+    M = d_terms.shape[1]
+    T = q_idx.shape[1]
+
+    terms_c = d_terms[cand].astype(jnp.int32)              # [B, C, M]
+    w_c = d_vals[cand].astype(jnp.float32) * d_scale[cand][:, :, None]
+
+    RB = 8
+    BC = 128
+    pad_b = -B % RB
+    pad_c = -C % BC
+    if pad_b or pad_c:
+        terms_c = jnp.pad(terms_c, ((0, pad_b), (0, pad_c), (0, 0)),
+                          mode="edge")
+        w_c = jnp.pad(w_c, ((0, pad_b), (0, pad_c), (0, 0)), mode="edge")
+        q_idx = jnp.pad(q_idx, ((0, pad_b), (0, 0)), mode="edge")
+        q_val = jnp.pad(q_val, ((0, pad_b), (0, 0)), mode="edge")
+    Bp, Cp = B + pad_b, C + pad_c
+
+    grid = (Bp // RB, Cp // BC)
+    out = pl.pallas_call(
+        _rescore_kernel_rows,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RB, T), lambda b, c: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, T), lambda b, c: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, BC, M), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, BC, M), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RB, BC), lambda b, c: (b, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Cp), jnp.float32),
+        interpret=interpret,
+    )(q_idx.astype(jnp.int32), q_val.astype(jnp.float32), terms_c, w_c)
+    return out[:B, :C]
+
+
 def rescore_match_xla(d_terms, d_vals, d_scale, q_idx, q_val, cand):
     """Same match formulation in plain XLA: a T-step scan that streams the
     candidate CSR once per step — no [B, V] table, no per-element gather.

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from splade_tpu.ops.postings_index import (dispatch_rescore, exact_rescore,
                                            resolve_rescore_mode,
                                            sparse_query_dense)
-from splade_tpu.ops.rescore_kernel import rescore_match, rescore_match_xla
+from splade_tpu.ops.rescore_kernel import (rescore_match, rescore_match_rows,
+                                           rescore_match_xla)
 
 
 def _make_case(seed, N=300, M=16, V=700, B=8, T=12, C=50):
@@ -57,6 +58,22 @@ def test_pallas_match_parity_unaligned():
     dt, dv, ds, qi, qv, cand, V = _make_case(2, B=5, C=37)
     ref = _gather_ref(dt, dv, ds, qi, qv, cand, V)
     out = np.asarray(rescore_match(dt, dv, ds, qi, qv, cand))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_match_rows_parity(seed):
+    dt, dv, ds, qi, qv, cand, V = _make_case(seed)
+    ref = _gather_ref(dt, dv, ds, qi, qv, cand, V)
+    out = np.asarray(rescore_match_rows(dt, dv, ds, qi, qv, cand))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-4)
+
+
+def test_pallas_match_rows_parity_unaligned():
+    dt, dv, ds, qi, qv, cand, V = _make_case(2, B=5, C=37)
+    ref = _gather_ref(dt, dv, ds, qi, qv, cand, V)
+    out = np.asarray(rescore_match_rows(dt, dv, ds, qi, qv, cand))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=0, atol=1e-4)
 
@@ -112,8 +129,9 @@ def test_dispatch_all_modes_agree():
     dt, dv, ds, qi, qv, cand, V = _make_case(6)
     outs = {m: np.asarray(dispatch_rescore(dt, dv, ds, qi, qv, cand, V,
                                            mode=m))
-            for m in ("gather", "match", "match_xla")}
+            for m in ("gather", "match", "match_rows", "match_xla")}
     np.testing.assert_allclose(outs["match"], outs["gather"], atol=1e-4)
+    np.testing.assert_allclose(outs["match_rows"], outs["gather"], atol=1e-4)
     np.testing.assert_allclose(outs["match_xla"], outs["gather"], atol=1e-4)
 
 
