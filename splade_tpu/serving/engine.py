@@ -636,6 +636,7 @@ def build_engine_from_docs(
     n_probes: int = 32,
     hot_terms: int = 2048,
     hot_postings: int = 8192,
+    posting_scoring: str = "auto",
     **engine_kw,
 ) -> ServingEngine:
     """Encode (doc_id, text) pairs on device and build a served index.
@@ -677,7 +678,8 @@ def build_engine_from_docs(
             n_postings=256 if n_postings is None else n_postings,
             hot_terms=hot_terms, hot_postings=hot_postings,
             query_top_t=engine_kw.get("query_top_k", 64) or 32,
-            rescore_candidates=rescore_candidates or 0)
+            rescore_candidates=rescore_candidates or 0,
+            scoring=posting_scoring)
     elif index_type == "postings":
         from splade_tpu.ops.postings_index import TpuPostingsIndex
 
@@ -685,7 +687,8 @@ def build_engine_from_docs(
             len(tokenizer),
             n_postings=2048 if n_postings is None else n_postings,
             query_top_t=engine_kw.get("query_top_k", 64) or 32,
-            rescore_candidates=rescore_candidates or 0)
+            rescore_candidates=rescore_candidates or 0,
+            scoring=posting_scoring)
     else:
         from splade_tpu.ops.impact_index import TpuImpactIndex
 

@@ -252,6 +252,16 @@ def main(argv: Optional[list] = None) -> int:
                    help="--index tiered: max hot-tier rows H")
     p.add_argument("--hot-postings", type=int, default=8192,
                    help="--index tiered: hot continuation depth P_hot")
+    p.add_argument("--posting-scoring", default="auto",
+                   choices=("auto", "scatter", "sort", "select",
+                            "select_sum"),
+                   help="postings/tiered phase-1 aggregation policy "
+                        "(select/select_sum require --rescore > 0; "
+                        "'auto' resolves by device and pool size). "
+                        "Applies to fresh builds AND as a load-time "
+                        "override on a persisted --index-cache (scoring "
+                        "is a runtime policy, not part of the stored "
+                        "corpus shape)")
     p.add_argument("--query-top-k", type=int, default=64)
     p.add_argument("--max-batch-size", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
@@ -305,7 +315,10 @@ def main(argv: Optional[list] = None) -> int:
             cls = TpuPostingsIndex
         logger.info("loading persisted %s index %s ...",
                     cache_kind, args.index_cache)
-        index = cls.load(args.index_cache)
+        overrides = {}
+        if args.posting_scoring != "auto" and cache_kind != "cluster":
+            overrides["scoring"] = args.posting_scoring
+        index = cls.load(args.index_cache, **overrides)
         logger.warning(
             "persisted index config wins (CLI shape flags are IGNORED "
             "with an existing --index-cache; delete the cache to "
@@ -329,7 +342,8 @@ def main(argv: Optional[list] = None) -> int:
             query_top_k=args.query_top_k, index_type=index_kind,
             n_postings=args.n_postings, rescore_candidates=args.rescore,
             cluster_size=args.cluster_size, n_probes=args.probes,
-            hot_terms=args.hot_terms, hot_postings=args.hot_postings)
+            hot_terms=args.hot_terms, hot_postings=args.hot_postings,
+            posting_scoring=args.posting_scoring)
         if args.index_cache:
             if hasattr(engine.index, "save"):
                 engine.index.save(args.index_cache)

@@ -115,6 +115,36 @@ def test_postings_backed_engine_matches_dense(engine):
                                    rtol=5e-2)
 
 
+def test_build_engine_posting_scoring_flag():
+    """--posting-scoring threads from the server CLI through
+    build_engine_from_docs into both postings-family constructors, and the
+    resulting two-phase engine still returns correct top docs (phase 2 is
+    exact whatever the phase-1 selection policy)."""
+    cfg = ModernBertConfig.tiny(num_hidden_layers=2, vocab_size=VOCAB)
+    model = SpladeEncoder(cfg, pool_impl="streamed")
+    tok = ServingFakeTokenizer()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    docs = [(f"doc{i}", f"문서 {i} 텍스트 {'가나다라마바사'[i % 7]}")
+            for i in range(40)]
+    from splade_tpu.serving.engine import build_engine_from_docs
+
+    for index_type in ("postings", "tiered"):
+        eng = build_engine_from_docs(
+            model, params, tok, docs, int8=False, index_type=index_type,
+            n_postings=64, rescore_candidates=64, posting_scoring="select",
+            query_top_k=16, query_max_length=16)
+        assert eng.index.scoring == "select", index_type
+        hits = eng.search_batch(["문서 7"], k=3)[0]
+        assert hits and all(isinstance(d, str) for d, _ in hits)
+    # select without a rescore pool is a config error, not a silent fall-through
+    with pytest.raises(ValueError, match="rescore"):
+        build_engine_from_docs(
+            model, params, tok, docs, int8=False, index_type="postings",
+            n_postings=64, rescore_candidates=0, posting_scoring="select",
+            query_top_k=16, query_max_length=16)
+
+
 def test_tiered_backed_engine_matches_dense(engine):
     """The DF-tiered backend serves through its own fused path (7-array
     phase-1 structure) and matches the dense engine on the same corpus;
