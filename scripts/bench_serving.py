@@ -97,6 +97,11 @@ def main() -> int:
     p.add_argument("--rescore", type=int, default=0,
                    help=">0 with --index postings: two-phase search (pair "
                         "with --n-postings 64)")
+    p.add_argument("--posting-scoring", default="auto",
+                   choices=["auto", "scatter", "sort", "select",
+                            "select_sum"],
+                   help="postings phase-1 aggregation policy (select/"
+                        "select_sum need --rescore > 0)")
     p.add_argument("--max-batch-size", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     args = p.parse_args()
@@ -136,7 +141,8 @@ def main() -> int:
                 V,
                 n_postings=2048 if args.n_postings is None
                 else args.n_postings,
-                query_top_t=32, rescore_candidates=args.rescore)
+                query_top_t=32, rescore_candidates=args.rescore,
+                scoring=args.posting_scoring)
         index.add_csr([f"d{i}" for i in range(n)],
                       *zipf_corpus_csr(rng, n, V))
         index.build()
@@ -154,7 +160,8 @@ def main() -> int:
         engine = build_engine_from_docs(enc.model, enc.params, tokenizer,
                                         docs, index_type=args.index,
                                         n_postings=args.n_postings,
-                                        rescore_candidates=args.rescore)
+                                        rescore_candidates=args.rescore,
+                                        posting_scoring=args.posting_scoring)
     service = SearchService(engine, max_batch_size=args.max_batch_size,
                             max_wait_ms=args.max_wait_ms, warmup=True)
     srv = create_server(service, "127.0.0.1", 0)

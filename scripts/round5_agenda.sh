@@ -295,6 +295,36 @@ EOF
   commit_rows "Serving-daemon load test at the round-4 operating point (r5_operating_point_1m)"
 }
 
+# -- stage serving2: the same daemon at the round-5 frontier point
+#    (select P=512/C=2000 — the best >=0.95-recall config from the C
+#    sweep), so the headline pareto has a server-level counterpart too
+stage_serving2() {
+  done_ serving2 && return 0
+  log "stage serving2"
+  timeout 3000 python scripts/bench_serving.py --checkpoint "$CKPT" \
+    --synthetic-docs 1000000 --index postings --n-postings 512 \
+    --rescore 2000 --posting-scoring select --clients 128 --requests 2048 \
+    >/tmp/r5_serving2.log 2>&1
+  python - <<'EOF' && mark serving2
+import json, pathlib
+log = pathlib.Path("/tmp/r5_serving2.log").read_text().strip().splitlines()
+rows = [json.loads(x) for x in log if x.startswith("{")]
+assert rows, "no JSON line in serving2 log"
+row = rows[-1]
+row["note"] = ("round-5 frontier operating point P=512/C=2000/select/"
+               "match (0.9555 recall vs exact in the C sweep), 1M "
+               "synthetic-zipf docs, real 149M encoder per query, "
+               "128 clients")
+p = pathlib.Path("docs/SERVING_LOAD.json")
+d = json.loads(p.read_text())
+d["r5_frontier_select_1m"] = row
+p.write_text(json.dumps(d, indent=2))
+print("wrote docs/SERVING_LOAD.json [r5_frontier_select_1m]")
+EOF
+  tail -3 /tmp/r5_serving2.log >>"$LOG"
+  commit_rows "Serving-daemon load test at the round-5 frontier point (r5_frontier_select_1m)"
+}
+
 # -- stage bench: cold-process bench.py capture (LAST: value already known)
 stage_bench() {
   done_ bench && return 0
@@ -316,5 +346,6 @@ stage_toptiered
 stage_headline
 stage_profile
 stage_serving
+stage_serving2
 stage_bench
 log "all stages attempted"
