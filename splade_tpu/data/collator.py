@@ -13,6 +13,7 @@ are reclaimed by the fused SPLADE pooling and larger effective batches.
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -35,6 +36,16 @@ class TripletCollator:
         dynamic padding (XLA compiles one step per bucket; short batches
         run up to buckets[0]/1.0 x faster)."""
         self.tokenizer = tokenizer
+        # HF fast tokenizers are NOT thread-safe ("Already borrowed"
+        # RuntimeError from the pyo3 RefCell when two threads tokenize
+        # concurrently). The collator is shared between the dataloader's
+        # prefetch producer thread and the main thread (mid-training
+        # eval tokenizes through it while the producer may still be
+        # filling its queue after an early epoch exit — observed at
+        # max_steps finalization, round 5), so every tokenizer call is
+        # serialized. Contention is nil: the two only overlap in that
+        # drain window, and correctness beats parallelism there.
+        self._tok_lock = threading.Lock()
         self.query_max_length = query_max_length or max_length
         self.doc_max_length = doc_max_length or max_length
         self.num_hard_negatives = max(int(num_hard_negatives), 1)
@@ -56,13 +67,16 @@ class TripletCollator:
     def _tokenize(self, texts: List[str], max_length: int) -> Dict[str, np.ndarray]:
         buckets = self._bucket_lengths(max_length)
         if len(buckets) == 1:
-            enc = self.tokenizer(
-                texts, padding="max_length", truncation=True,
-                max_length=max_length, return_tensors="np")
+            with self._tok_lock:
+                enc = self.tokenizer(
+                    texts, padding="max_length", truncation=True,
+                    max_length=max_length, return_tensors="np")
         else:
             # Tokenize unpadded once, pick the smallest fitting bucket.
-            enc = self.tokenizer(texts, padding=True, truncation=True,
-                                 max_length=max_length, return_tensors="np")
+            with self._tok_lock:
+                enc = self.tokenizer(texts, padding=True, truncation=True,
+                                     max_length=max_length,
+                                     return_tensors="np")
             cur = enc["input_ids"].shape[1]
             target = next(b for b in buckets if b >= cur)
             if target > cur:

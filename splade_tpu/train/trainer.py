@@ -103,6 +103,7 @@ class DevicePrefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self._stop = threading.Event()
         self._queue_mod = queue
+        self._src = batches
 
         def worker():
             try:
@@ -146,6 +147,20 @@ class DevicePrefetcher:
             except self._queue_mod.Empty:
                 break
         self._thread.join(timeout=10.0)
+        # Close the abandoned source generator AFTER the worker has
+        # returned (a generator cannot be closed while executing): its
+        # finally propagates the stop to the dataloader's own prefetch
+        # producer, which would otherwise keep collating — and tokenizing
+        # — until its queue filled, racing the final eval's tokenization
+        # on the shared HF fast tokenizer (observed: "Already borrowed"
+        # at max_steps finalization, round 5).
+        if not self._thread.is_alive():
+            try:
+                close = getattr(self._src, "close", None)
+                if close is not None:
+                    close()
+            except Exception:  # noqa: BLE001 - best-effort hygiene
+                pass
 
 
 def make_loss_fn(model, loss_cfg, num_blocks: int, packed_query: bool = False):

@@ -244,3 +244,46 @@ def test_sharded_iterator_abandoned_epoch_releases_producer(jsonl_dir):
     while threading.active_count() > before and _t.time() < deadline:
         _t.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_collator_tokenizer_calls_serialized():
+    """HF fast tokenizers are not thread-safe ('Already borrowed'); the
+    collator serializes every tokenizer call so the prefetch producer and
+    the mid-training evaluator can share one tokenizer (the round-5
+    max_steps finalization crash)."""
+    import threading
+    import time as _t
+
+    class ReentrancyProbe(FakeTokenizer):
+        def __init__(self):
+            self.busy = False
+            self.overlaps = 0
+
+        def __call__(self, *a, **kw):
+            if self.busy:
+                self.overlaps += 1
+            self.busy = True
+            _t.sleep(0.002)  # widen the race window
+            try:
+                return super().__call__(*a, **kw)
+            finally:
+                self.busy = False
+
+    tok = ReentrancyProbe()
+    col = TripletCollator(tok, query_max_length=8, doc_max_length=8)
+    errs = []
+
+    def worker():
+        try:
+            for _ in range(20):
+                col._tokenize(["가나다", "검색"], 8)
+        except Exception as e:  # pragma: no cover - fails the assert below
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert tok.overlaps == 0, f"{tok.overlaps} concurrent tokenizer entries"

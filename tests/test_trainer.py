@@ -425,6 +425,29 @@ class TestDevicePrefetcher:
         pf.close()
         assert not pf._thread.is_alive()
 
+    def test_close_closes_source_generator(self):
+        # An abandoned source generator must be CLOSED by close(), not
+        # left suspended: its finally is what stops the dataloader's own
+        # prefetch producer, whose continued tokenization raced the final
+        # eval on the shared HF tokenizer ("Already borrowed", round 5).
+        from splade_tpu.train.trainer import DevicePrefetcher
+
+        closed = []
+
+        def src():
+            try:
+                i = 0
+                while True:
+                    yield i
+                    i += 1
+            finally:
+                closed.append(True)
+
+        pf = DevicePrefetcher(src(), lambda x: x, depth=2)
+        assert next(iter(pf)) == 0
+        pf.close()
+        assert closed, "source generator finally did not run"
+
     def test_depth_zero_disables_in_trainer(self, tmp_path):
         # trainer integration both ways: default (prefetch on) is covered
         # by every other trainer test; this pins the depth=0 fallback
