@@ -22,5 +22,8 @@ while true; do
     echo "giving up after $MAX_RESTARTS restarts (last exit $code)" >&2
     exit "$code"
   fi
-  sleep 30
+  # 90s, not 30: after an UNCLEAN death the single-tenant device grant
+  # takes ~60-90s to release, and a successor that starts earlier blocks
+  # forever on the grant (observed 3x, docs/TRAINING_DYNAMICS.md round 5)
+  sleep 90
 done
