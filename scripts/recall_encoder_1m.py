@@ -530,9 +530,16 @@ def run_sweep(args, d_idx, d_val, q_idx, q_val, V, weights_src, t_all):
                 entry["memory_mb"] = round(index.memory_bytes() / 1e6)
             key_sfx = f"probes{P}"
         else:
+            from splade_tpu.ops.postings_index import resolve_rescore_mode
+
             entry.update({
                 "n_postings": P, "rescore_candidates": args.rescore,
                 "posting_scoring": index.resolved_scoring(),
+                # which phase-2 implementation actually ran (env
+                # SPLADE_RESCORE override included) — match_rows A/B rows
+                # must be distinguishable from the default match rows
+                "rescore_mode": resolve_rescore_mode(
+                    "auto", vmapped=args.index.startswith("mesh")),
                 "truncated_pct": round(100.0 * index.truncated_postings
                                        / max(index.nnz, 1), 2),
             })
