@@ -34,6 +34,13 @@ R=scripts/recall_encoder_1m.py
 mark() { touch "/tmp/r5_done_$1"; }
 done_() { [ -f "/tmp/r5_done_$1" ]; }
 log() { echo "[r5] $* $(date -u +%T)" >>"$LOG"; }
+# single-tenant grant handoff: a chip process launched seconds after the
+# previous one exits can block FOREVER on the device grant (observed
+# 00:08–00:27 this round: the selsum->topenc 9s handoff wedged on a
+# futex with the relay healthy; same failure mode as the operational
+# lesson in docs/TRAINING_DYNAMICS.md). Pause before every chip-process
+# launch that follows another chip process.
+grant_gap() { log "grant gap 75s"; sleep 75; }
 cache_ok() {
   [ -s "$1" ] && python - "$1" >/dev/null 2>&1 <<'EOF'
 import numpy, sys
@@ -64,6 +71,7 @@ if ! timeout 420 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
   exit 7
 fi
 log "chip up"
+grant_gap
 
 # -- stage encode: the reset also wiped the 1M zipf encode cache; rebuild
 #    it from the regenerated checkpoint. The csweep sort control that
@@ -173,6 +181,7 @@ stage_topenc() {
   if ! cache_ok "$ENCT"; then
     rm -f "$ENCT"
     log "stage topenc (encode ~30 min)"
+    grant_gap
     timeout 5400 python "$R" --index postings --corpus topical \
       --checkpoint "$CKPT" --enc-cache "$ENCT" --queries "$QUERIES" \
       --n-postings 512 --rescore 1000 --posting-scoring sort --search-batch 256 \
@@ -194,11 +203,13 @@ stage_topsweep() {
   # simple [B,N] scatter-add — the E=33K-135K bitonic-sort programs at
   # deep P take 20+ min EACH to compile through the tunnel (measured on
   # the P=512/E=16.9K control this round)
+  grant_gap
   timeout 5400 python "$R" --index postings --enc-cache "$ENCT" \
     --queries "$QUERIES" --n-postings 1024,2048,4096 --rescore 1000 \
     --posting-scoring scatter --search-batch 256 \
     --key r5_topical_scatter >/tmp/r5_topsweep.log 2>&1 || ok=0
   tail -6 /tmp/r5_topsweep.log >>"$LOG"
+  grant_gap
   timeout 3600 python "$R" --index postings --enc-cache "$ENCT" \
     --queries "$QUERIES" --n-postings 2048 --rescore 4000 \
     --posting-scoring select --search-batch 256 \
@@ -215,11 +226,13 @@ stage_toptiered() {
   cache_ok "$ENCT" || { log "toptiered: no topical cache"; return 1; }
   log "stage toptiered"
   local ok=1
+  grant_gap
   timeout 3600 python "$R" --index tiered --enc-cache "$ENCT" \
     --queries "$QUERIES" --n-postings 512 --hot-terms 4096 \
     --hot-postings 8192 --rescore 2000 --search-batch 256 \
     --key r5_topical_tiered_h4096_ph8192 >/tmp/r5_ttier1.log 2>&1 || ok=0
   tail -2 /tmp/r5_ttier1.log >>"$LOG"
+  grant_gap
   timeout 3600 python "$R" --index tiered --enc-cache "$ENCT" \
     --queries "$QUERIES" --n-postings 512 --hot-terms 8192 \
     --hot-postings 16384 --rescore 2000 --search-batch 256 \
@@ -238,11 +251,13 @@ stage_headline() {
   cache_ok "$ENC" || { log "headline: no encode cache"; return 1; }
   log "stage headline"
   local ok=1
+  grant_gap
   timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
     --queries "$QUERIES" --n-postings 512 --rescore 2000 \
     --posting-scoring select \
     --key r5_headline_select_p512_c2000 >/tmp/r5_headline1.log 2>&1 || ok=0
   tail -2 /tmp/r5_headline1.log >>"$LOG"
+  grant_gap
   timeout 3600 python "$R" --index postings --enc-cache "$ENC" \
     --queries "$QUERIES" --n-postings 512 --rescore 2000 \
     --posting-scoring select_sum \
@@ -258,6 +273,7 @@ stage_profile() {
   done_ profile && return 0
   cache_ok "$ENC" || { log "profile: no encode cache"; return 1; }
   log "stage profile"
+  grant_gap
   timeout 3600 python scripts/profile_search_phases.py --enc-cache "$ENC" \
     --n-postings 512 --rescore 2000 --scoring select \
     --key-suffix select_c2000 >/tmp/r5_profile.log 2>&1 && mark profile
@@ -271,6 +287,7 @@ stage_profile() {
 stage_serving() {
   done_ serving && return 0
   log "stage serving"
+  grant_gap
   timeout 3000 python scripts/bench_serving.py --checkpoint "$CKPT" \
     --synthetic-docs 1000000 --index postings --n-postings 256 \
     --rescore 1000 --clients 128 --requests 2048 \
@@ -301,6 +318,7 @@ EOF
 stage_serving2() {
   done_ serving2 && return 0
   log "stage serving2"
+  grant_gap
   timeout 3000 python scripts/bench_serving.py --checkpoint "$CKPT" \
     --synthetic-docs 1000000 --index postings --n-postings 512 \
     --rescore 2000 --posting-scoring select --clients 128 --requests 2048 \
@@ -329,6 +347,7 @@ EOF
 stage_bench() {
   done_ bench && return 0
   log "stage bench"
+  grant_gap
   timeout 2400 python bench.py >/tmp/r5_bench.json 2>/tmp/r5_bench.log \
     && mark bench
   cat /tmp/r5_bench.json >>"$LOG" 2>/dev/null

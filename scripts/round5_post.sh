@@ -46,6 +46,7 @@ while :; do
 done
 echo $$ > /tmp/r5_agenda.pid   # take the agenda lock (see header)
 log "chip handover (left $(left)s)"
+sleep 75   # grant-release gap (see round5_agenda.sh grant_gap)
 
 # stage matchrows: select P=512, C in {2000,4000}, single B=1024
 # program, match_rows rescore — prediction 4's operating-point payoff
@@ -68,6 +69,7 @@ stage_matchrows_selsum() {
   done_ matchrows_selsum && return 0
   [ "$(left)" -lt 1500 ] && { log "matchrows_selsum: no time"; return 1; }
   log "stage matchrows_selsum"
+  sleep 75   # grant-release gap
   SPLADE_RESCORE=match_rows timeout 3600 python "$R" --index postings \
     --enc-cache "$ENC" --queries 1024 --n-postings 512 \
     --rescore 1000,2000 --posting-scoring select_sum \
